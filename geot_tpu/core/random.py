@@ -1,0 +1,20 @@
+"""Seeding helpers. The reference seeds torch/numpy global RNG
+(``openpoints/utils/random.py``); in JAX randomness is explicit PRNG keys, so
+this module seeds numpy (host-side data pipeline) and hands out a root key."""
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+
+def set_random_seed(seed: int = 0, deterministic: bool = False):
+    random.seed(seed)
+    np.random.seed(seed)
+    return seed
+
+
+def root_key(seed: int):
+    import jax
+
+    return jax.random.PRNGKey(seed)

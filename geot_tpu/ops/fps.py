@@ -1,0 +1,74 @@
+"""Farthest point sampling.
+
+Replaces the reference CUDA kernels
+``furthestsampling_cuda`` (``pointops/src/sampling/sampling_cuda_kernel.cu:15``),
+``furthestsampling_weights_cuda`` (``:175``) and
+``furthest_point_sampling`` (``pointnet2/_ext_src/src/sampling_gpu.cu``).
+
+Semantics preserved exactly: the first selected index is 0, then iteratively
+pick the point whose min-distance to the selected set is largest; the
+weighted variant multiplies each candidate's squared distance by
+``max(weight, 1e-12)`` before the running min (reference ``:222``).
+
+TPU mapping: the selection loop is inherently sequential, but each iteration
+is a fully vectorised (B, N) distance update + argmax — pure VPU work over
+arrays that stay resident on-chip.  A ``lax.fori_loop`` writing into a
+pre-allocated (B, npoint) index buffer keeps shapes static for XLA.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def fps(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """Batched FPS indices.
+
+    Args:
+        xyz: (B, N, 3) float coordinates.
+        npoint: number of samples (static).
+    Returns:
+        (B, npoint) int32 indices; idx[:, 0] == 0 (reference convention).
+    """
+    return _fps_impl(xyz.astype(jnp.float32), None, npoint)
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def fps_weighted(xyz: jnp.ndarray, weights: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """Weighted FPS (reference ``pointops.fps_weight``): candidate score is
+    ``min over selected(d2 * max(w, 1e-12))``."""
+    return _fps_impl(xyz.astype(jnp.float32), weights.astype(jnp.float32), npoint)
+
+
+def _fps_impl(xyz, weights, npoint):
+    B, N, _ = xyz.shape
+
+    def body(j, carry):
+        min_d2, idx, last = carry
+        # distance from every point to the most recently selected point
+        last_xyz = jnp.take_along_axis(xyz, last[:, None, None], axis=1)  # (B,1,3)
+        d2 = jnp.sum((xyz - last_xyz) ** 2, axis=-1)                       # (B,N)
+        if weights is not None:
+            d2 = d2 * jnp.maximum(weights, 1e-12)
+        min_d2 = jnp.minimum(min_d2, d2)
+        best = jnp.argmax(min_d2, axis=-1).astype(jnp.int32)               # (B,)
+        idx = idx.at[:, j].set(best)
+        return min_d2, idx, best
+
+    init_idx = jnp.zeros((B, npoint), dtype=jnp.int32)
+    init_min = jnp.full((B, N), 1e10, dtype=jnp.float32)
+    last0 = jnp.zeros((B,), dtype=jnp.int32)  # idx[:,0] = 0
+    _, idx, _ = lax.fori_loop(1, npoint, body, (init_min, init_idx, last0))
+    return idx
+
+
+def fps_gather(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """FPS returning the sampled coordinates, like the reference convenience
+    wrappers ``pointops.fps`` (``pointops/functions/pointops.py:24``) and
+    ``fps`` in the backbone (``openpoints/models/backbone/transformer.py:266``)."""
+    idx = fps(xyz, npoint)
+    return jnp.take_along_axis(xyz, idx[..., None], axis=1)
