@@ -9,6 +9,7 @@ instantiates.  This rebuild keeps only the surface the framework actually uses
 from __future__ import annotations
 
 import copy
+from collections.abc import Mapping
 from typing import Any, Callable, Dict, Optional
 
 
@@ -19,8 +20,8 @@ def build_from_cfg(cfg: Dict[str, Any], registry: "Registry",
     Matches the reference's build_from_cfg: cfg entries override default_args;
     the ``NAME`` key selects the class and is not forwarded.
     """
-    if not isinstance(cfg, dict):
-        raise TypeError(f"cfg must be a dict, got {type(cfg)}")
+    if not isinstance(cfg, Mapping):
+        raise TypeError(f"cfg must be a mapping, got {type(cfg)}")
     if "NAME" not in cfg:
         if default_args is None or "NAME" not in default_args:
             raise KeyError(f'`cfg` or `default_args` must contain the key "NAME", got {cfg}')

@@ -1,0 +1,82 @@
+"""Geometry-guided manifold regularisers for the instance-dependent transition
+matrix (reference: ``utils/insT_loss.py``).
+
+The reference gathers neighbours with a python loop of ``index_select`` calls
+(``insT_loss.py:28-36``); here a single kNN + batched gather does it in two
+fused XLA ops.  ``ins_T`` is the (B*N, C, C) output of ``sig_t_mean``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import grouping_operation, knn
+
+
+def _neighbour_weights(anchor_feats, labels, k, sigma, same_val, diff_val):
+    """kNN in ``anchor_feats`` space; returns (idx (B,N,k), weights (B,N,k))
+    where weights = (same/diff label mask value) * exp(-d2 / 2 sigma^2) with
+    d2 the squared feature distance, exactly as ``insT_loss.py:42-49``."""
+    _, idx = knn(anchor_feats, anchor_feats, k + 1)
+    idx = idx[:, :, 1:]                                     # drop self
+    neigh_feats = grouping_operation(anchor_feats, idx)     # (B,N,k,C)
+    d2 = jnp.sum((anchor_feats[:, :, None, :] - neigh_feats) ** 2, axis=-1)
+    eij = jnp.exp(-d2 / (2.0 * sigma * sigma))
+    neigh_labels = jnp.take_along_axis(labels, idx.reshape(labels.shape[0], -1),
+                                       axis=1).reshape(idx.shape)
+    agree = neigh_labels == labels[:, :, None]
+    weight = jnp.where(agree, same_val, diff_val) * eij
+    return idx, jax.lax.stop_gradient(weight)
+
+
+def _t_dist(ins_T, idx):
+    """Pairwise squared L2 between each point's transition matrix and its
+    neighbours' (B*N, C, C) -> (B, N, k)."""
+    B, N, k = idx.shape
+    C = ins_T.shape[-1]
+    t = ins_T.reshape(B, N, C * C)
+    neigh_t = grouping_operation(t, idx)                    # (B,N,k,CC)
+    return jnp.sum((t[:, :, None, :] - neigh_t) ** 2, axis=-1)
+
+
+class feature_space_loss:
+    """Reference ``insT_loss.py:9-58``: kNN in softmax space, label-agreement
+    weights in {+1, -1} x gaussian affinity, mean-weighted T distances."""
+
+    def __init__(self, k: int = 7, sigma: float = 1.0, num_classes: int = 17):
+        self.k, self.sigma = k, sigma
+
+    def __call__(self, probs, labels, ins_T):
+        # probs (B, N, C) softmax outputs (reference passes (B, C, N))
+        idx, w = _neighbour_weights(probs, labels, self.k, self.sigma, 1.0, -1.0)
+        return jnp.mean(w * _t_dist(ins_T, idx))
+
+
+class threed_space_loss:
+    """Reference ``insT_loss.py:61-110``: same in xyz space with {1, 0}
+    weights and per-point normalisation."""
+
+    def __init__(self, k: int = 7, sigma: float = 1.0, num_classes: int = 17):
+        self.k, self.sigma = k, sigma
+
+    def __call__(self, positions, labels, ins_T):
+        idx, w = _neighbour_weights(positions, labels, self.k, self.sigma, 1.0, 0.0)
+        td = _t_dist(ins_T, idx)
+        per_point = jnp.sum(w * td, axis=-1) / (jnp.sum(w, axis=-1) + 0.001)
+        return jnp.mean(per_point)
+
+
+class identity_loss:
+    """Diagonal-masked MSE of ins_T against identity
+    (reference ``Idenyity_loss``, ``insT_loss.py:113-132``)."""
+
+    def __call__(self, ins_T, identity=None):
+        C = ins_T.shape[-1]
+        eye = jnp.eye(C, dtype=ins_T.dtype) if identity is None else identity
+        diff = (ins_T - eye[None]) ** 2
+        per = jnp.sum(diff * eye[None], axis=(1, 2)) / jnp.sum(eye)
+        return jnp.mean(per)
+
+
+# reference-spelling alias (the reference class is ``Idenyity_loss``)
+Idenyity_loss = identity_loss

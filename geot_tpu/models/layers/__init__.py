@@ -1,0 +1,16 @@
+from .common import MlpBlock, DropPath, PointBatchNorm, SharedMLP, drop_path_rates
+from .group_embed import SubsampleGroup, GroupTokenizer
+from .knn import knn_point, KNN, DilatedKNN
+from .subsample import furthest_point_sample, random_sample
+from .group import create_grouper, QueryAndGroup, KNNGroup, GroupAll, get_aggregation_features
+from .local_aggregation import LocalAggregation, CHANNEL_MAP
+
+__all__ = [
+    "MlpBlock", "DropPath", "PointBatchNorm", "SharedMLP", "drop_path_rates",
+    "SubsampleGroup", "GroupTokenizer",
+    "knn_point", "KNN", "DilatedKNN",
+    "furthest_point_sample", "random_sample",
+    "create_grouper", "QueryAndGroup", "KNNGroup", "GroupAll",
+    "get_aggregation_features",
+    "LocalAggregation", "CHANNEL_MAP",
+]

@@ -1,0 +1,170 @@
+"""Segmentation wrappers (reference: ``openpoints/models/segmentation/base_seg.py``).
+
+``WholePartSeg`` is the GeoT student/teacher wrapper: in fixmatch mode it
+concatenates the labeled, strong-augmented and weak-augmented batches along
+the batch axis and runs ONE segmentor forward — on TPU this is exactly what
+we want (one big batch through the MXU instead of three small ones).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..build import MODELS, build_model_from_cfg
+
+
+@MODELS.register_module(name="WholePartSeg")
+class WholePartSeg(nn.Module):
+    """Reference ``base_seg.py:76-160``.
+
+    __call__ accepts either raw arrays or the reference's dict batches:
+    - labeled only:    ``p0={'pos','x','cls'}``
+    - fixmatch:        additionally ``u0={'pos_s','x_s','cls_s','pos_w','x_w','cls_w','T'?}``
+    - teacher:         ``if_teacher=True`` reads the weak view from ``p0``.
+
+    Returns ``(logit, correction, sigma)`` plus the point features as a 4th
+    element (the reference discards them at this level; the engine wants them
+    for the contrastive loss).
+    """
+
+    segmentor_args: Any = None
+    gm_args: Any = None
+
+    def setup(self):
+        self.segmentor = build_model_from_cfg(self.segmentor_args)
+
+    def __call__(self, p0, f0=None, cls0=None, u0=None, if_teacher: bool = False,
+                 fixmatch: bool = False, training: bool = False):
+        T = None
+        if if_teacher:
+            p0, f0, cls0 = p0["pos_w"], p0["x_w"], p0["cls_w"]
+        elif hasattr(p0, "keys"):
+            if u0 is not None:
+                if fixmatch:
+                    p0_, f0_, cls0_ = p0["pos"], p0["x"], p0["cls"]
+                    p0 = jnp.concatenate([p0_, u0["pos_s"], u0["pos_w"]], axis=0)
+                    f0 = jnp.concatenate([f0_, u0["x_s"], u0["x_w"]], axis=0)
+                    cls0 = jnp.concatenate(
+                        [cls0_.reshape(-1), u0["cls_s"].reshape(-1),
+                         u0["cls_w"].reshape(-1)], axis=0)
+                else:
+                    cls0 = jnp.concatenate([p0["cls"].reshape(-1),
+                                            u0["cls_s"].reshape(-1)], axis=0)
+                    f0 = jnp.concatenate([p0["x"], u0["x_s"]], axis=0)
+                    p0 = jnp.concatenate([p0["pos"], u0["pos_s"]], axis=0)
+                if "T" in u0:
+                    T = u0["T"]
+            else:
+                p0, f0, cls0 = p0["pos"], p0.get("x"), p0["cls"]
+        logit, correction, sigma, feats = self.segmentor(
+            p0, f0, cls0, T, training=training)
+        return logit, correction, sigma, feats
+
+
+@MODELS.register_module(name="WholePartSeg_ntm")
+class WholePartSegNTM(nn.Module):
+    """Reference ``base_seg.py:164-240`` — same concat logic, no T thread."""
+
+    segmentor_args: Any = None
+    gm_args: Any = None
+
+    def setup(self):
+        self.segmentor = build_model_from_cfg(self.segmentor_args)
+
+    def __call__(self, p0, f0=None, cls0=None, u0=None, if_teacher: bool = False,
+                 fixmatch: bool = False, training: bool = False):
+        if if_teacher:
+            p0, f0, cls0 = p0["pos_w"], p0["x_w"], p0["cls_w"]
+        elif hasattr(p0, "keys"):
+            if u0 is not None and fixmatch:
+                p0_, f0_, cls0_ = p0["pos"], p0["x"], p0["cls"]
+                p0 = jnp.concatenate([p0_, u0["pos_s"], u0["pos_w"]], axis=0)
+                f0 = jnp.concatenate([f0_, u0["x_s"], u0["x_w"]], axis=0)
+                cls0 = jnp.concatenate([cls0_.reshape(-1), u0["cls_s"].reshape(-1),
+                                        u0["cls_w"].reshape(-1)], axis=0)
+            else:
+                p0, f0, cls0 = p0["pos"], p0.get("x"), p0["cls"]
+        logit, correction, sigma, feats = self.segmentor(
+            p0, f0, cls0, None, training=training)
+        return logit, correction, sigma, feats
+
+
+@MODELS.register_module(name="Ins_T")
+class InsT(nn.Module):
+    """Instance-T predictor wrapper (reference ``base_seg.py:244``)."""
+
+    T_args: Any = None
+
+    def setup(self):
+        self.T_predictor = build_model_from_cfg(self.T_args)
+
+    def __call__(self, clean):
+        return self.T_predictor(clean)
+
+
+@MODELS.register_module(name="Ins_T_mean")
+class InsTMean(nn.Module):
+    """Instance-T predictor with class-mean conditioning
+    (reference ``base_seg.py:255``)."""
+
+    T_args: Any = None
+
+    def setup(self):
+        self.T_predictor = build_model_from_cfg(self.T_args)
+
+    def __call__(self, clean, cm):
+        return self.T_predictor(clean, cm)
+
+
+@MODELS.register_module(name="BaseSeg")
+class BaseSeg(nn.Module):
+    """Generic encoder/decoder/head composition (reference ``base_seg.py:16``)."""
+
+    encoder_args: Any = None
+    decoder_args: Any = None
+    cls_args: Any = None
+
+    def setup(self):
+        self.encoder = build_model_from_cfg(self.encoder_args)
+        if self.decoder_args is not None:
+            dec_args = dict(self.decoder_args)
+            dec_args.setdefault("encoder_channel_list", self.encoder.channel_list)
+            self.decoder = build_model_from_cfg(dec_args)
+        else:
+            self.decoder = None
+        self.head = (build_model_from_cfg(self.cls_args)
+                     if self.cls_args is not None else None)
+
+    def __call__(self, p0, f0=None, training: bool = False):
+        if hasattr(p0, "keys"):
+            p0, f0 = p0["pos"], p0.get("x")
+        l_xyz, l_feats = self.encoder.forward_seg_feat(p0, f0, training=training)
+        f = self.decoder(l_xyz, l_feats, training=training) if self.decoder else l_feats[-1]
+        if self.head is not None:
+            f = self.head(f, training=training)
+        return f
+
+
+@MODELS.register_module(name="SegHead")
+class GenericSegHead(nn.Module):
+    """Per-point classification head (reference ``base_seg.py:284-342``):
+    pointwise MLP + dropout + final Dense to num_classes."""
+
+    num_classes: int = 17
+    in_channels: Optional[int] = None
+    mlps: Optional[Sequence[int]] = None
+    dropout_ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, f, training: bool = False):
+        mlps = list(self.mlps) if self.mlps is not None else [f.shape[-1]]
+        for i, c in enumerate(mlps):
+            f = nn.Dense(c, name=f"mlp_{i}")(f)
+            f = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                             epsilon=1e-5, name=f"bn_{i}")(f)
+            f = nn.relu(f)
+        if self.dropout_ratio > 0:
+            f = nn.Dropout(self.dropout_ratio, deterministic=not training)(f)
+        return nn.Dense(self.num_classes, name="out")(f)

@@ -18,6 +18,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# This XLA CPU build defaults to low-precision f32 matmuls (bf16-level error,
+# ~0.07 on a 64x64 product); pin full f32 so numeric oracles are meaningful.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
