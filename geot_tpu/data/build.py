@@ -1,0 +1,161 @@
+"""Dataset registry + dataloaders.
+
+Reference: ``openpoints/dataset/build.py`` (torch DataLoader with worker
+processes + DistributedSampler).  The rebuild uses a thread-pool prefetch
+loader feeding numpy batches: the heavy per-sample work (OBJ parse, numpy
+subsample, augmentation) releases the GIL in numpy; device transfer happens in
+the engine.  Per-host sharding replaces ``DistributedSampler`` — each host
+takes a strided slice of the epoch's index permutation
+(reference ``build.py:107`` -> ``process_index``-strided here).
+"""
+from __future__ import annotations
+
+import concurrent.futures as _fut
+import itertools
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..core.registry import Registry
+from .transforms import build_transforms_from_cfg
+
+DATASETS = Registry("dataset")
+
+
+def build_dataset_from_cfg(cfg, default_args=None):
+    return DATASETS.build(cfg, **(default_args or {}))
+
+
+def default_collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack fixed-shape numpy entries; keep ragged entries (full-resolution
+    ``points``/``labels`` for eval) as lists — the behaviour of
+    ``collate_fn_val`` (reference ``build.py:30-50``)."""
+    out: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        first = np.asarray(vals[0])
+        if all(np.asarray(v).shape == first.shape for v in vals) and first.dtype != object:
+            out[key] = np.stack([np.asarray(v) for v in vals])
+        else:
+            out[key] = vals
+    return out
+
+
+class DataLoader:
+    """Minimal epoch-based loader: shuffling, per-host sharding, thread-pool
+    prefetch, drop_last for static batch shapes under jit."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, num_workers: int = 4, seed: int = 0,
+                 collate_fn=None, num_shards: int = 1, shard_index: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.seed = seed
+        self.collate = collate_fn or default_collate
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Reference ``DistributedSampler.set_epoch`` (``train.py:278-279``)."""
+        self.epoch = epoch
+
+    # expose the reference's ``loader.sampler.set_epoch`` call-site shape
+    @property
+    def sampler(self):
+        return self
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            idx = np.random.default_rng(self.seed + self.epoch).permutation(n)
+        return idx[self.shard_index::self.num_shards]
+
+    def __len__(self) -> int:
+        n = len(self._epoch_indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        idx = self._epoch_indices()
+        nb = len(self)
+        with _fut.ThreadPoolExecutor(self.num_workers) as pool:
+            batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                       for i in range(nb)]
+
+            def fetch(batch_idx):
+                return self.collate([self.dataset[int(j)] for j in batch_idx])
+
+            # prefetch depth = num_workers
+            futures = []
+            it = iter(batches)
+            for b in itertools.islice(it, self.num_workers):
+                futures.append(pool.submit(fetch, b))
+            for b in it:
+                done = futures.pop(0)
+                futures.append(pool.submit(fetch, b))
+                yield done.result()
+            for fut in futures:
+                yield fut.result()
+
+
+def _shard_info(distributed: bool):
+    if not distributed:
+        return 1, 0
+    import jax
+
+    return jax.process_count(), jax.process_index()
+
+
+def build_dataloader_from_cfg(batch_size: int, dataset_cfg,
+                              dataloader_cfg=None, datatransforms_cfg=None,
+                              split: str = "train", distributed: bool = False,
+                              pretrain: bool = False, seed: int = 0):
+    """Reference ``openpoints/dataset/build.py:67-126``: select the transform
+    pipeline for the split, build the dataset with it, wrap in a loader."""
+    if datatransforms_cfg is not None:
+        trans_split = "train" if split in ("train", "training") else "val"
+        transform = build_transforms_from_cfg(
+            split if split in datatransforms_cfg else trans_split,
+            datatransforms_cfg)
+    else:
+        transform = None
+
+    split_cfg = dict(dataset_cfg.get(split, {}))
+    cfg = dict(dataset_cfg.get("common", {}))
+    cfg.update(split_cfg)
+    cfg.setdefault("split", split)
+    dataset = build_dataset_from_cfg(cfg, {"transform": transform})
+
+    shards, shard_idx = _shard_info(distributed)
+    num_workers = (dataloader_cfg or {}).get("num_workers", 4)
+    shuffle = split in ("train", "training")
+    return DataLoader(dataset, batch_size, shuffle=shuffle, drop_last=shuffle,
+                      num_workers=num_workers, seed=seed,
+                      num_shards=shards, shard_index=shard_idx)
+
+
+def build_semi_dataloader_from_cfg(batch_size: int, dataset_cfg,
+                                   dataloader_cfg=None, datatransforms_cfg=None,
+                                   split: str = "train", distributed: bool = False,
+                                   pretrain: bool = False, seed: int = 0):
+    """Reference ``build.py:128-189``: the unlabeled dataset receives BOTH the
+    weak (``train_w``) and strong (``train_s``) pipelines."""
+    transform_w = build_transforms_from_cfg("train_w", datatransforms_cfg)
+    transform_s = build_transforms_from_cfg("train_s", datatransforms_cfg)
+
+    split_cfg = dict(dataset_cfg.get(split, {}))
+    cfg = dict(dataset_cfg.get("common", {}))
+    cfg.update(split_cfg)
+    cfg.setdefault("split", split)
+    dataset = build_dataset_from_cfg(
+        cfg, {"transform_w": transform_w, "transform_s": transform_s})
+
+    shards, shard_idx = _shard_info(distributed)
+    num_workers = (dataloader_cfg or {}).get("num_workers", 4)
+    return DataLoader(dataset, batch_size, shuffle=True, drop_last=True,
+                      num_workers=num_workers, seed=seed + 1,
+                      num_shards=shards, shard_index=shard_idx)

@@ -1,0 +1,279 @@
+"""Host-side data augmentations.
+
+Reference: ``openpoints/transforms/`` — torch transforms applied per-sample in
+``__getitem__``.  Here each transform is a numpy callable taking (data dict,
+np.random.Generator).  The weak/strong FixMatch convention is preserved: every
+``<Name>_s`` variant reads its strength from ``*_s`` kwargs
+(``scale_s/shift_s/angle_s/jitter_*_s``), exactly how the YAML configures
+different strengths (``cfgs/tooth_semi/transformer_finetune_fixmatch_ntm.yaml:98-119``).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.registry import Registry
+
+DataTransforms = Registry("datatransforms")
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, data, rng=None):
+        rng = rng or np.random.default_rng()
+        for t in self.transforms:
+            data = t(data, rng)
+        return data
+
+
+def build_transforms_from_cfg(split: str, datatransforms_cfg) -> Compose | None:
+    """Reference ``transforms_factory.py:44``: pick the transform name list for
+    ``split`` and construct each with the shared ``kwargs``."""
+    cfg = dict(datatransforms_cfg or {})
+    names = cfg.get(split)
+    if not names:
+        return None
+    kwargs = dict(cfg.get("kwargs", {}))
+    return Compose([DataTransforms.build({"NAME": n, **kwargs}) for n in names])
+
+
+@DataTransforms.register_module(name="PointsToTensor")
+class PointsToTensor:
+    """float64 -> float32 normalisation (tensors are jnp-ready numpy here;
+    reference ``point_transform_cpu.py:8``)."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, data, rng):
+        for k, v in data.items():
+            if isinstance(v, np.ndarray) and v.dtype == np.float64:
+                data[k] = v.astype(np.float32)
+        return data
+
+
+@DataTransforms.register_module(name="PointCloudCenterAndNormalize")
+class PointCloudCenterAndNormalize:
+    """Centering + unit-sphere + heights channel
+    (reference ``point_transformer_gpu.py:36-68``)."""
+
+    def __init__(self, centering=True, normalize=True, gravity_dim=2,
+                 append_xyz=False, **kwargs):
+        self.centering = centering
+        self.normalize = normalize
+        self.gravity_dim = gravity_dim
+        self.append_xyz = append_xyz
+
+    def __call__(self, data, rng):
+        pos = data["pos"]
+        if self.append_xyz:
+            data["heights"] = pos - pos.min()
+        else:
+            h = pos[:, self.gravity_dim:self.gravity_dim + 1]
+            data["heights"] = h - h.min()
+        if self.centering:
+            pos = pos - pos.mean(axis=0, keepdims=True)
+        if self.normalize:
+            m = np.sqrt((pos ** 2).sum(-1, keepdims=True)).max()
+            pos = pos / m
+        data["pos"] = pos
+        return data
+
+
+class _Scaling:
+    def __init__(self, scale, anisotropic=True, scale_xyz=(True, True, True),
+                 mirror=(0, 0, 0)):
+        self.scale_min, self.scale_max = float(scale[0]), float(scale[1])
+        self.anisotropic = anisotropic
+        self.scale_xyz = scale_xyz
+        self.mirror = np.asarray(mirror)
+
+    def __call__(self, data, rng):
+        n = 3 if self.anisotropic else 1
+        scale = rng.uniform(self.scale_min, self.scale_max, n).astype(np.float32)
+        if (self.mirror > 0).any():
+            mirror = (rng.uniform(size=3) > self.mirror).astype(np.float32) * 2 - 1
+            scale = scale * mirror
+        if self.anisotropic:
+            for i, s in enumerate(self.scale_xyz):
+                if not s:
+                    scale[i] = 1.0
+        data["pos"] = data["pos"] * scale
+        return data
+
+
+@DataTransforms.register_module(name="PointCloudScaling")
+class PointCloudScaling(_Scaling):
+    """Reference ``point_transformer_gpu.py:136``."""
+
+    def __init__(self, scale=(2 / 3, 3 / 2), anisotropic=True,
+                 scale_xyz=(True, True, True), mirror=(0, 0, 0), **kwargs):
+        super().__init__(scale, anisotropic, scale_xyz, mirror)
+
+
+@DataTransforms.register_module(name="PointCloudScaling_s")
+class PointCloudScalingS(_Scaling):
+    """Strong-branch variant keyed by ``scale_s``
+    (reference ``point_transformer_gpu.py:167``)."""
+
+    def __init__(self, scale_s=(2 / 3, 3 / 2), anisotropic=True,
+                 scale_xyz=(True, True, True), mirror=(0, 0, 0), **kwargs):
+        super().__init__(scale_s, anisotropic, scale_xyz, mirror)
+
+
+class _Translation:
+    def __init__(self, shift):
+        self.shift = np.asarray(shift, dtype=np.float32)
+
+    def __call__(self, data, rng):
+        t = rng.uniform(0, 1, 3).astype(np.float32) * self.shift
+        data["pos"] = data["pos"] + t
+        return data
+
+
+@DataTransforms.register_module(name="PointCloudTranslation")
+class PointCloudTranslation(_Translation):
+    """Reference ``point_transformer_gpu.py:199``."""
+
+    def __init__(self, shift=(0.2, 0.2, 0.0), **kwargs):
+        super().__init__(shift)
+
+
+@DataTransforms.register_module(name="PointCloudTranslation_s")
+class PointCloudTranslationS(_Translation):
+    """Reference ``point_transformer_gpu.py:213``."""
+
+    def __init__(self, shift_s=(0.2, 0.2, 0.0), **kwargs):
+        super().__init__(shift_s)
+
+
+@DataTransforms.register_module(name="PointCloudScaleAndTranslate")
+class PointCloudScaleAndTranslate:
+    """Reference ``point_transformer_gpu.py:238``."""
+
+    def __init__(self, scale=(2 / 3, 3 / 2), scale_xyz=(True, True, True),
+                 anisotropic=True, shift=(0.2, 0.2, 0.2), mirror=(0, 0, 0), **kwargs):
+        self.scaler = _Scaling(scale, anisotropic, scale_xyz, mirror)
+        self.shift = np.asarray(shift, dtype=np.float32)
+
+    def __call__(self, data, rng):
+        data = self.scaler(data, rng)
+        t = (rng.uniform(0, 1, 3).astype(np.float32) - 0.5) * 2 * self.shift
+        data["pos"] = data["pos"] + t
+        return data
+
+
+class _Jitter:
+    def __init__(self, sigma, clip):
+        self.sigma, self.clip = sigma, clip
+
+    def __call__(self, data, rng):
+        noise = (rng.standard_normal(data["pos"].shape) * self.sigma).astype(np.float32)
+        data["pos"] = data["pos"] + np.clip(noise, -self.clip, self.clip)
+        return data
+
+
+@DataTransforms.register_module(name="PointCloudJitter")
+class PointCloudJitter(_Jitter):
+    """Reference ``point_transformer_gpu.py:295``."""
+
+    def __init__(self, jitter_sigma=0.01, jitter_clip=0.05, **kwargs):
+        super().__init__(jitter_sigma, jitter_clip)
+
+
+@DataTransforms.register_module(name="PointCloudJitter_s")
+class PointCloudJitterS(_Jitter):
+    """Reference ``point_transformer_gpu.py:310``."""
+
+    def __init__(self, jitter_sigma_s=0.01, jitter_clip_s=0.05, **kwargs):
+        super().__init__(jitter_sigma_s, jitter_clip_s)
+
+
+def _axis_rotation(axis_ind: int, theta: float) -> np.ndarray:
+    """Rodrigues rotation about a coordinate axis (replaces scipy ``expm`` of
+    the cross-product matrix, reference ``point_transformer_gpu.py:366``)."""
+    c, s = np.cos(theta), np.sin(theta)
+    m = np.eye(3, dtype=np.float32)
+    i, j = [(1, 2), (0, 2), (0, 1)][axis_ind]
+    m[i, i] = c
+    m[j, j] = c
+    m[i, j] = -s if axis_ind != 1 else s
+    m[j, i] = s if axis_ind != 1 else -s
+    return m
+
+
+class _Rotation:
+    def __init__(self, angle):
+        self.angle = np.asarray(angle, dtype=np.float64) * np.pi
+
+    def __call__(self, data, rng):
+        mats = []
+        for axis_ind, bound in enumerate(self.angle):
+            theta = rng.uniform(-bound, bound) if bound is not None else 0.0
+            mats.append(_axis_rotation(axis_ind, theta))
+        rng.shuffle(mats)
+        rot = (mats[0] @ mats[1] @ mats[2]).astype(np.float32)
+        data["pos"] = data["pos"] @ rot.T
+        if "normals" in data:
+            data["normals"] = data["normals"] @ rot.T
+        return data
+
+
+@DataTransforms.register_module(name="PointCloudRotation")
+class PointCloudRotation(_Rotation):
+    """Reference ``point_transformer_gpu.py:361``."""
+
+    def __init__(self, angle=(0, 0, 0), **kwargs):
+        super().__init__(angle)
+
+
+@DataTransforms.register_module(name="PointCloudRotation_s")
+class PointCloudRotationS(_Rotation):
+    """Reference ``point_transformer_gpu.py:409``."""
+
+    def __init__(self, angle_s=(0, 0, 0), **kwargs):
+        super().__init__(angle_s)
+
+
+@DataTransforms.register_module(name="ChromaticDropGPU")
+class ChromaticDropGPU:
+    """Zero the colour channels with probability ``color_drop``
+    (reference ``point_transformer_gpu.py:515``)."""
+
+    def __init__(self, color_drop=0.2, **kwargs):
+        self.color_drop = color_drop
+
+    def __call__(self, data, rng):
+        if rng.uniform() < self.color_drop and "x" in data:
+            data["x"] = data["x"].copy()
+            data["x"][:, :3] = 0
+        return data
+
+
+@DataTransforms.register_module(name="RandomRotate")
+class RandomRotate(_Rotation):
+    """CPU-transform heritage (reference ``point_transform_cpu.py:23``)."""
+
+    def __init__(self, angle=(0, 0, 1), **kwargs):
+        super().__init__(angle)
+
+
+@DataTransforms.register_module(name="RandomHorizontalFlip")
+class RandomHorizontalFlip:
+    """Reference ``point_transformer_gpu.py:113``."""
+
+    def __init__(self, upright_axis="z", aug_prob=0.95, **kwargs):
+        self.upright_axis = {"x": 0, "y": 1, "z": 2}[upright_axis.lower()]
+        self.aug_prob = aug_prob
+
+    def __call__(self, data, rng):
+        if rng.uniform() < self.aug_prob:
+            for ax in set(range(3)) - {self.upright_axis}:
+                if rng.uniform() < 0.5:
+                    pos = data["pos"].copy()
+                    pos[:, ax] = pos.max() - pos[:, ax]
+                    data["pos"] = pos
+                    if "normals" in data:
+                        data["normals"][:, ax] = -data["normals"][:, ax]
+        return data

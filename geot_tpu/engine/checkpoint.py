@@ -1,0 +1,186 @@
+"""Checkpointing.
+
+Reference ``openpoints/utils/ckpt_util.py:69-258``: ``.pth`` files with
+latest/best/milestone copies and prefix-reconciling loads.  Here the whole
+train state is one pytree saved with orbax (``_ckpt_latest`` dir, ``_ckpt_best``
+copy on improvement, ``_E{epoch}`` milestones), plus a torch ``.pth`` ->
+flax-params converter for loading reference checkpoints (parity testing and
+the ``pretrained_path`` workflow).
+"""
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ckpt_path(ckpt_dir: str, run_name: str, tag: str) -> str:
+    return os.path.join(os.path.abspath(ckpt_dir), f"{run_name}_ckpt_{tag}")
+
+
+def save_checkpoint(cfg, state, epoch: int, additional_dict: Optional[Dict] = None,
+                    is_best: bool = False, save_freq: Optional[int] = None):
+    """Reference ``save_checkpoint`` (``ckpt_util.py:69-108``) semantics."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = cfg["ckpt_dir"]
+    run_name = cfg.get("run_name", "run")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    latest = _ckpt_path(ckpt_dir, run_name, "latest")
+    payload = {"state": state, "epoch": epoch,
+               "extra": additional_dict or {}}
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(latest):
+        shutil.rmtree(latest)
+    ckptr.save(latest, payload)
+    ckptr.wait_until_finished()
+    if is_best:
+        best = _ckpt_path(ckpt_dir, run_name, "best")
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(latest, best)
+    if save_freq and epoch % save_freq == 0:
+        mile = _ckpt_path(ckpt_dir, run_name, f"E{epoch}")
+        if not os.path.exists(mile):
+            shutil.copytree(latest, mile)
+    return latest
+
+
+def load_checkpoint(path: str, template_state):
+    """Restore a state pytree saved by ``save_checkpoint``."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(os.path.abspath(path),
+                            {"state": template_state, "epoch": 0, "extra": {}})
+    return payload["state"], payload["epoch"], payload["extra"]
+
+
+# --------------------------------------------------------------------------
+# torch .pth -> flax conversion (flagship PointTransformer_seg_T family)
+# --------------------------------------------------------------------------
+
+def _strip_prefixes(key: str) -> str:
+    """Normalise reference key prefixes (``module.``, ``model.``,
+    ``segmentor.``) the way ``load_checkpoint``/``load_pretrain`` reconcile
+    them (reference ``ckpt_util.py:225-258``, ``base_seg.py:97-123``)."""
+    for p in ("module.", "model."):
+        if key.startswith(p):
+            key = key[len(p):]
+    return key
+
+
+def convert_torch_seg_t(state_dict: Dict[str, np.ndarray], depth: int = 12):
+    """Map a reference ``PointTransformer_seg_T`` torch state_dict to this
+    rebuild's param/batch_stats trees (channels-last Dense layout).
+
+    torch Conv1d/Conv2d k=1 weights (out, in, 1[, 1]) and Linear weights
+    (out, in) all become Dense kernels (in, out).
+    """
+    sd = {_strip_prefixes(k): np.asarray(v) for k, v in state_dict.items()}
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def dense(tkey, has_bias=True):
+        w = sd[tkey + ".weight"]
+        w = w.reshape(w.shape[0], -1).T          # (in, out)
+        out = {"kernel": w}
+        if has_bias and tkey + ".bias" in sd:
+            out["bias"] = sd[tkey + ".bias"]
+        return out
+
+    def bn(tkey):
+        p = {"scale": sd[tkey + ".weight"], "bias": sd[tkey + ".bias"]}
+        s = {"mean": sd[tkey + ".running_mean"], "var": sd[tkey + ".running_var"]}
+        return p, s
+
+    def ln(tkey):
+        return {"scale": sd[tkey + ".weight"], "bias": sd[tkey + ".bias"]}
+
+    def gn(tkey):
+        return {"scale": sd[tkey + ".weight"], "bias": sd[tkey + ".bias"]}
+
+    pfx = "segmentor."
+
+    # mini-PointNet encoder
+    enc_p, enc_s = {}, {}
+    enc_p["conv1a"] = dense(pfx + "encoder.first_conv.0")
+    enc_p["bn1"], enc_s["bn1"] = bn(pfx + "encoder.first_conv.1")
+    enc_p["conv1b"] = dense(pfx + "encoder.first_conv.3")
+    enc_p["conv2a"] = dense(pfx + "encoder.second_conv.0")
+    enc_p["bn2"], enc_s["bn2"] = bn(pfx + "encoder.second_conv.1")
+    enc_p["conv2b"] = dense(pfx + "encoder.second_conv.3")
+    params["encoder"] = enc_p
+    stats["encoder"] = enc_s
+
+    if pfx + "reduce_dim.weight" in sd:
+        params["reduce_dim"] = dense(pfx + "reduce_dim")
+
+    params["pos_embed"] = {"fc1": dense(pfx + "pos_embed.0"),
+                           "fc2": dense(pfx + "pos_embed.2")}
+
+    blocks = {}
+    for i in range(depth):
+        b = f"{pfx}blocks.blocks.{i}."
+        blocks[f"block_{i}"] = {
+            "norm1": ln(b + "norm1"),
+            "attn": {"qkv": dense(b + "attn.qkv"),
+                     "proj": dense(b + "attn.proj")},
+            "norm2": ln(b + "norm2"),
+            "mlp": {"fc1": dense(b + "mlp.fc1"), "fc2": dense(b + "mlp.fc2")},
+        }
+    params["blocks"] = blocks
+    params["norm"] = ln(pfx + "norm")
+
+    # FP modules: erikwijmans SharedMLP -> mlp.layer{j}.conv/.bn.bn
+    def fp(tname, fname):
+        p, s = {}, {}
+        for j in range(2):
+            conv_key = f"{pfx}{tname}.mlp.layer{j}.conv"
+            bn_key = f"{pfx}{tname}.mlp.layer{j}.bn.bn"
+            p[f"dense_{j}"] = dense(conv_key, has_bias=False)
+            p[f"bn_{j}"], s[f"bn_{j}"] = bn(bn_key)
+        params[fname] = {"mlp": p}
+        stats[fname] = {"mlp": s}
+
+    fp("propogation_2", "propagation_2")
+    fp("propogation_1", "propagation_1")
+    fp("propogation_0", "propagation_0")
+
+    for tname, fname in (("dgcnn_pro_1", "dgcnn_pro_1"),
+                         ("dgcnn_pro_2", "dgcnn_pro_2")):
+        params[fname] = {
+            "layer1_conv": dense(pfx + tname + ".layer1.0", has_bias=False),
+            "layer1_gn": gn(pfx + tname + ".layer1.1"),
+            "layer2_conv": dense(pfx + tname + ".layer2.0", has_bias=False),
+            "layer2_gn": gn(pfx + tname + ".layer2.1"),
+        }
+
+    seg_p = {"conv1": dense(pfx + "seg_head.0"),
+             "conv2": dense(pfx + "seg_head.3")}
+    seg_bn_p, seg_bn_s = bn(pfx + "seg_head.1")
+    seg_p["bn"] = seg_bn_p
+    params["seg_head"] = seg_p
+    stats["seg_head"] = {"bn": seg_bn_s}
+
+    if pfx + "T_linear.weight" in sd:
+        params["T_linear"] = sd[pfx + "T_linear.weight"]
+        params["T_revision"] = sd[pfx + "T_revision.weight"]
+        params["sigma"] = sd[pfx + "sigma"]
+
+    # wrap under the WholePartSeg module name
+    return ({"segmentor": params}, {"segmentor": stats})
+
+
+def load_torch_pth(path: str):
+    """Read a reference ``.pth`` checkpoint's model state_dict as numpy."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}

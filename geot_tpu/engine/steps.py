@@ -1,0 +1,276 @@
+"""Jit-compiled train/eval steps.
+
+The reference's ``train_one_epoch`` (``examples/segmentation/train.py:410-713``)
+interleaves host python with device work every iteration; here each phase of
+the GeoT schedule is ONE fused jitted step over donated state:
+
+- supervised step (epoch <= supervised_epochs),
+- semi step with teacher pseudo-labels (epoch <= switch_ep),
+- semi step with student-weak pseudo-labels (after switch_ep).
+
+Phase switches are static booleans -> three XLA executables, compiled once.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import build_criterion_from_cfg
+from ..losses.contrast import contrast_loss_t
+from ..losses.inst_loss import feature_space_loss, identity_loss, threed_space_loss
+from ..optim.factory import build_optimizer_from_cfg
+from .semi import apply_T, combine_T, ntm_update, pseudo_stats
+from .state import SemiTrainState, TrainState
+
+
+def _sup_loss_fn(criterion, criterion_name, logits, batch):
+    """Dispatch the supervised criterion exactly like the reference
+    (``train.py:449-454, 576-581``)."""
+    if criterion_name == "Weight_CELoss":
+        return criterion(logits, batch["y"], batch["class_weights"])
+    if criterion_name == "MultiShapeCrossEntropy":
+        return criterion(logits, batch["y"], batch["cls"])
+    return criterion(logits, batch["y"])
+
+
+def make_supervised_step(model, tx, cfg) -> Callable:
+    """Supervised warm-up step (reference ``train.py:439-457``)."""
+    criterion = build_criterion_from_cfg(cfg["criterion_args"])
+    criterion_name = cfg["criterion_args"]["NAME"]
+    clip = cfg.get("grad_norm_clip")
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, lr):
+        rng = jax.random.fold_in(jax.random.PRNGKey(cfg.get("seed", 0)), state.step)
+
+        def loss_fn(params):
+            (logits, *_), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, training=True, rngs={"dropout": rng},
+                mutable=["batch_stats"])
+            loss = _sup_loss_fn(criterion, criterion_name, logits, batch)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if clip is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        opt_state = state.opt_state
+        opt_state.hyperparams["lr_value"] = lr
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, batch_stats=new_bs,
+                                  opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss, "sup_loss": loss,
+                           "unsup_loss": jnp.zeros(())}
+
+    return step
+
+
+def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable:
+    """The full GeoT FixMatch + NTM step
+    (reference ``train.py:459-669``), jitted over SemiTrainState.
+
+    Returned callable: ``step(state, batch_l, batch_u, lr, use_teacher)`` with
+    ``use_teacher`` static.
+    """
+    criterion = build_criterion_from_cfg(cfg["criterion_args"])
+    criterion_name = cfg["criterion_args"]["NAME"]
+    criterion_u = build_criterion_from_cfg(cfg["criterion_u_args"])
+    criterion_u_name = cfg["criterion_u_args"]["NAME"]
+    num_classes = int(cfg["num_classes"])
+    clip = cfg.get("grad_norm_clip")
+
+    threshold = float(cfg.get("threshold", 0.0))
+    unsup_w = float(cfg.get("unsupervised_loss_weight", 1.0))
+    lambda_ = float(cfg.get("lambma", 0.9))
+    geo_lambda = float(cfg.get("geo_lambma", 0.999))
+    ema_t_decay = float(cfg.get("ema_t_decay", 0.999))
+    filter_outlier = bool(cfg.get("filter_outlier", False))
+
+    use_feat = bool(cfg.get("use_feat_loss", False))
+    feat_loss = feature_space_loss(int(cfg.get("feat_k", 16)),
+                                   float(cfg.get("feat_sigma", 1.0)), num_classes)
+    feat_w = float(cfg.get("feat_loss_weight", 10.0))
+    use_id = bool(cfg.get("use_identity_loss", False))
+    id_loss = identity_loss()
+    id_w = float(cfg.get("identity_loss_weight", 1.0))
+    use_3d = bool(cfg.get("use_3d_loss", True))
+    td_loss = threed_space_loss(int(cfg.get("threed_k", 32)),
+                                float(cfg.get("threed_sigma", 1.0)), num_classes)
+    td_w = float(cfg.get("threed_loss_weight", 0.1))
+    use_contrast = bool(cfg.get("use_contrastive", False))
+    contrast_w = float(cfg.get("contrastive_loss_weight", 1.0))
+
+    b_l = int(cfg["batch_size_l"])
+    b_u = int(cfg["batch_size_u"])
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
+    def step(state: SemiTrainState, batch_l, batch_u, lr, use_teacher: bool):
+        rng, drop_rng, contrast_rng = jax.random.split(
+            jax.random.fold_in(state.rng, state.step), 3)
+
+        teacher_probs = None
+        teacher_feats = None
+        if use_teacher:
+            t_logits, *_rest = teacher_model.apply(
+                state.teacher_variables, batch_u, if_teacher=True, training=False)
+            teacher_feats = _rest[-1]
+            teacher_probs = jax.nn.softmax(t_logits, axis=-1)
+
+        def loss_fn(params_tuple):
+            params, t_params = params_tuple
+            u0 = dict(batch_u)
+            u0["T"] = state.ema_t
+            (logits, _corr, sigma, feats), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch_l, u0=u0, fixmatch=True, training=True,
+                rngs={"dropout": drop_rng}, mutable=["batch_stats"])
+            pred_l = logits[:b_l]
+            pred_u_strong = logits[b_l:b_l + b_u]
+            pred_u_weak = logits[b_l + b_u:]
+
+            if use_teacher:
+                probs_w = teacher_probs
+            else:
+                probs_w = jax.lax.stop_gradient(
+                    jax.nn.softmax(pred_u_weak, axis=-1))
+            conf = jnp.max(probs_w, axis=-1)
+            pseudo = jnp.argmax(probs_w, axis=-1)
+
+            # --- NTM state machine -----------------------------------------
+            ntm = ntm_update(state.ema_t, probs_w, sigma,
+                             geo_lambda=geo_lambda, ema_t_decay=ema_t_decay,
+                             filter_outlier=filter_outlier)
+            probs_s = jax.nn.softmax(pred_u_strong, axis=-1)
+            ins_T = t_predictor.apply({"params": t_params},
+                                      jax.lax.stop_gradient(probs_s), state.cm)
+            newT = combine_T(ntm.ema_t_corr, ins_T, lambda_)
+            pred_u_corr = apply_T(pred_u_strong, newT)
+
+            # --- losses ----------------------------------------------------
+            sup_loss = _sup_loss_fn(criterion, criterion_name, pred_l, batch_l)
+
+            if criterion_u_name == "Weight_CELoss_U":
+                unsup = criterion_u(pred_u_strong, pseudo,
+                                    batch_l["class_weights"], conf, thresh=threshold)
+            elif criterion_u_name == "Poly1FocalLoss_U":
+                unsup = criterion_u(pred_u_strong, pseudo, conf, thresh=threshold)
+            elif criterion_u_name == "Poly1FocalLoss_U_T":
+                unsup = criterion_u(pred_u_strong, pseudo, conf, ntm.ema_t,
+                                    jax.nn.softmax(pred_u_corr, -1), thresh=threshold)
+            elif criterion_u_name == "MSE_Loss_U":
+                unsup = criterion_u(pred_u_strong, probs_w, thresh=threshold)
+            else:  # Poly1FocalLoss_U_corr — the config default
+                unsup = criterion_u(pred_u_corr, pseudo, conf, thresh=threshold)
+
+            thresh_mask = (conf >= threshold)
+            scale = (b_u * conf.shape[-1]) / jnp.maximum(
+                jnp.sum(thresh_mask.astype(jnp.float32)), 1.0)
+            unsup = unsup * unsup_w * scale
+
+            loss = sup_loss + unsup
+            aux_losses = {}
+            if use_feat:
+                lf = feat_loss(probs_s, pseudo, ins_T) * feat_w
+                loss = loss + lf
+                aux_losses["feat_loss"] = lf
+            if use_id:
+                li = id_loss(ins_T) * id_w
+                loss = loss + li
+                aux_losses["identity_loss"] = li
+            if use_3d:
+                l3 = td_loss(batch_u["raw_pos"], pseudo, ins_T) * td_w
+                loss = loss + l3
+                aux_losses["threed_loss"] = l3
+            new_contrast = state.contrast
+            if use_contrast and use_teacher:
+                feat_s = feats[b_l:b_l + b_u]
+                lc, new_contrast = contrast_loss_t(
+                    state.contrast, contrast_rng, feat_s, conf, teacher_feats)
+                lc = lc * contrast_w
+                loss = loss + lc
+                aux_losses["contrast_loss"] = lc
+
+            aux = dict(sup_loss=sup_loss, unsup_loss=unsup,
+                       conf=conf, pseudo=pseudo,
+                       pred_u_strong=jax.lax.stop_gradient(pred_u_strong),
+                       new_bs=mutated["batch_stats"], ema_t=ntm.ema_t,
+                       contrast=new_contrast, **aux_losses)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (state.params, state.t_params))
+        g_model, g_t = grads
+        if clip is not None:
+            gnorm = optax.global_norm(g_model)
+            scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
+            g_model = jax.tree_util.tree_map(lambda g: g * scale, g_model)
+
+        opt_state = state.opt_state
+        opt_state.hyperparams["lr_value"] = lr
+        updates, opt_state = tx.update(g_model, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        t_opt_state = state.t_opt_state
+        t_opt_state.hyperparams["lr_value"] = lr
+        t_updates, t_opt_state = t_tx.update(g_t, t_opt_state, state.t_params)
+        t_params = optax.apply_updates(state.t_params, t_updates)
+
+        # --- diagnostics (reference ``train.py:607-644``) -------------------
+        target_u = batch_u["y"].reshape(aux["pseudo"].shape)
+        stats = pseudo_stats(aux["pseudo"], target_u, aux["conf"], threshold,
+                             num_classes)
+        probs_strong = jax.nn.softmax(aux["pred_u_strong"], -1)
+        student_label = jnp.argmax(probs_strong, -1)
+        stats["teacher_acc"] = jnp.mean((aux["pseudo"] == target_u).astype(jnp.float32))
+        stats["student_acc"] = jnp.mean((student_label == target_u).astype(jnp.float32))
+
+        metrics = {"loss": loss, "sup_loss": aux["sup_loss"],
+                   "unsup_loss": aux["unsup_loss"], **stats}
+        for k in ("feat_loss", "identity_loss", "threed_loss", "contrast_loss"):
+            if k in aux:
+                metrics[k] = aux[k]
+
+        new_state = state.replace(
+            params=params, batch_stats=aux["new_bs"], opt_state=opt_state,
+            t_params=t_params, t_opt_state=t_opt_state,
+            ema_t=aux["ema_t"], contrast=aux["contrast"],
+            rng=rng, step=state.step + 1)
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(model) -> Callable:
+    @jax.jit
+    def step(variables, batch):
+        logits, *_ = model.apply(variables, batch, training=False)
+        return logits
+
+    return step
+
+
+def make_cm_step(model) -> Callable:
+    """One batch of the ``cal_mean_feature`` bootstrap pass
+    (reference ``train.py:868-897``): running class-conditional mean of
+    softmax outputs.  Returns (sum (C, C), count (C,)) contributions."""
+
+    @jax.jit
+    def step(variables, batch):
+        logits, *_ = model.apply(variables, batch, training=False)
+        probs = jax.nn.softmax(logits, axis=-1)
+        C = probs.shape[-1]
+        flat = probs.reshape(-1, C)
+        labels = batch["y"].reshape(-1)
+        onehot = jax.nn.one_hot(labels, C)                     # (M, C)
+        sums = onehot.T @ flat                                  # (C, C)
+        counts = jnp.sum(onehot, axis=0)
+        return sums, counts
+
+    return step

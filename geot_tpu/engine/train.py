@@ -1,0 +1,252 @@
+"""Training driver — the rebuild of ``examples/segmentation/train.py``.
+
+Usage (same CLI shape as the reference, ``README.md:34``):
+
+    python -m geot_tpu.engine.train --cfg cfgs/tooth_semi/transformer_finetune_fixmatch_ntm.yaml [k=v ...]
+
+Structure: ``main(cfg)`` builds loaders/models/optimizers, then per epoch runs
+the phase-appropriate jitted step over the epoch's batches and periodically
+validates/checkpoints.  All device state lives in one donated pytree.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..core.config import EasyConfig
+from ..core.logger import generate_exp_directory, resume_exp_directory, setup_logger_dist
+from ..core.metrics import AverageMeter
+from ..core.random import set_random_seed
+from ..data import (build_dataloader_from_cfg, build_semi_dataloader_from_cfg)
+from ..models import build_model_from_cfg
+from ..optim import build_optimizer_from_cfg, build_scheduler_from_cfg
+from .checkpoint import save_checkpoint
+from .eval import validate
+from .state import SemiTrainState, TrainState
+from .steps import make_cm_step, make_eval_step, make_semi_step, make_supervised_step
+from .writer import SummaryWriter
+
+
+def _model_batch(batch, jnp):
+    return {"pos": jnp.asarray(batch["pos"]), "x": jnp.asarray(batch["x"]),
+            "cls": jnp.asarray(batch["cls"]), "y": jnp.asarray(batch["y"]),
+            "class_weights": jnp.asarray(batch["class_weights"])}
+
+
+def _semi_batch(batch, jnp):
+    out = {}
+    for k in ("pos_w", "x_w", "cls_w", "pos_s", "x_s", "cls_s", "raw_pos", "y"):
+        out[k] = jnp.asarray(batch[k])
+    return out
+
+
+def cal_mean_feature(cm_step, variables, loader, num_classes):
+    """Bootstrap pass for the class-mean softmax matrix
+    (reference ``train.py:868-897``; the reference's ``logits[target]`` row
+    indexing bug is fixed to the intended class-conditional mean)."""
+    import jax.numpy as jnp
+
+    total = np.zeros((num_classes, num_classes), dtype=np.float64)
+    counts = np.zeros((num_classes,), dtype=np.float64)
+    for batch in loader:
+        sums, cnts = cm_step(variables, _model_batch(batch, jnp))
+        total += np.asarray(sums, dtype=np.float64)
+        counts += np.asarray(cnts, dtype=np.float64)
+    cm = total / np.maximum(counts[:, None], 1.0)
+    return jnp.asarray(cm.astype(np.float32))
+
+
+def main(cfg: EasyConfig) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    setup_logger_dist(cfg.get("log_path"), 0, name="geot_tpu")
+    logger = logging.getLogger()
+    set_random_seed(cfg.get("seed", 0))
+    writer = SummaryWriter(cfg.get("run_dir")) if cfg.get("run_dir") else None
+
+    num_classes = int(cfg.num_classes)
+    semi_mode = "dataset_u" in cfg and "criterion_u_args" in cfg
+
+    # ---- data ----------------------------------------------------------
+    val_loader = build_dataloader_from_cfg(
+        cfg.get("batch_size_val", 2), cfg.dataset_l, cfg.get("dataloader"),
+        cfg.get("datatransforms"), split="val", seed=cfg.get("seed", 0))
+    test_loader = build_dataloader_from_cfg(
+        cfg.get("batch_size_test", 2), cfg.dataset_l, cfg.get("dataloader"),
+        cfg.get("datatransforms"), split="test", seed=cfg.get("seed", 0))
+    train_loader_l = build_dataloader_from_cfg(
+        cfg.get("batch_size_l", cfg.get("batch_size", 2)), cfg.dataset_l,
+        cfg.get("dataloader"), cfg.get("datatransforms"), split="train",
+        seed=cfg.get("seed", 0))
+    train_loader_u = None
+    if semi_mode:
+        train_loader_u = build_semi_dataloader_from_cfg(
+            cfg.get("batch_size_u", 2), cfg.dataset_u, cfg.get("dataloader"),
+            cfg.get("datatransforms"), split="train", seed=cfg.get("seed", 0))
+    logger.info(f"datasets: train_l={len(train_loader_l.dataset)} "
+                f"val={len(val_loader.dataset)} test={len(test_loader.dataset)}"
+                + (f" train_u={len(train_loader_u.dataset)}" if train_loader_u else ""))
+
+    # ---- models --------------------------------------------------------
+    model = build_model_from_cfg(cfg.model)
+    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+    sample = next(iter(train_loader_l))
+    init_batch = _model_batch(sample, jnp)
+    init = jax.jit(model.init, static_argnames=())
+    variables = init({"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+                     init_batch)
+    nparams = sum(int(np.prod(p.shape))
+                  for p in jax.tree_util.tree_leaves(variables["params"]))
+    logger.info(f"model params: {nparams / 1e6:.3f} M")
+
+    tx = build_optimizer_from_cfg(None, lr=cfg.lr, **cfg.optimizer)
+    schedule = build_scheduler_from_cfg(cfg)
+    eval_step = make_eval_step(model)
+
+    pretrained = cfg.get("pretrained_path")
+    if pretrained and os.path.exists(str(pretrained)):
+        from .checkpoint import convert_torch_seg_t, load_torch_pth
+        try:
+            sd = load_torch_pth(pretrained)
+            p, s = convert_torch_seg_t(sd, depth=cfg.model.segmentor_args.depth)
+            variables = {"params": p, "batch_stats": s}
+            logger.info(f"loaded torch pretrain from {pretrained}")
+        except Exception as e:  # noqa: BLE001
+            logger.warning(f"pretrain load failed ({e}); training from scratch")
+
+    if semi_mode:
+        model_t = build_model_from_cfg(cfg.get("model_t", cfg.model))
+        t_predictor = build_model_from_cfg(cfg.t_predictor)
+        probs0 = jax.nn.softmax(jnp.zeros((1, 8, num_classes)), -1)
+        t_vars = t_predictor.init(jax.random.fold_in(rng, 2), probs0,
+                                  jnp.eye(num_classes))
+        t_tx = build_optimizer_from_cfg(None, lr=cfg.lr, **cfg.optimizer)
+        state = SemiTrainState.create(
+            variables, tx, t_vars, t_tx, num_classes,
+            jax.random.fold_in(rng, 3), teacher_variables=variables,
+            contrast_dim=int(cfg.model.segmentor_args.get("trans_dim", 384)))
+        semi_step = make_semi_step(model, model_t, t_predictor, tx, t_tx, cfg)
+        cm_step = make_cm_step(model)
+        state = state.replace(cm=cal_mean_feature(
+            cm_step, state.variables, train_loader_l, num_classes))
+    else:
+        state = TrainState.create(variables, tx)
+        semi_step = None
+    sup_step = make_supervised_step(model, tx, cfg)
+
+    supervised_epochs = int(cfg.get("supervised_epochs", 0))
+    switch_ep = int(cfg.get("switch_ep", 0))
+    best = {"miou": 0.0, "dsc": 0.0, "acc": 0.0, "epoch": 0}
+    results = {}
+
+    for epoch in range(int(cfg.get("start_epoch", 1)), int(cfg.epochs) + 1):
+        train_loader_l.set_epoch(epoch)
+        lr = jnp.asarray(schedule(epoch), dtype=jnp.float32)
+        meters = {k: AverageMeter() for k in ("loss", "sup_loss", "unsup_loss")}
+        t0 = time.time()
+
+        if semi_mode and epoch > supervised_epochs:
+            train_loader_u.set_epoch(epoch)
+            u_iter = iter(train_loader_u)
+            use_teacher = epoch <= switch_ep
+            for batch_l in train_loader_l:
+                try:
+                    batch_u = next(u_iter)
+                except StopIteration:
+                    u_iter = iter(train_loader_u)
+                    batch_u = next(u_iter)
+                state, metrics = semi_step(state, _model_batch(batch_l, jnp),
+                                           _semi_batch(batch_u, jnp), lr,
+                                           use_teacher)
+                for k in meters:
+                    meters[k].update(float(metrics[k]))
+        else:
+            # supervised phase trains the plain TrainState view of the state
+            sup_state = TrainState(params=state.params,
+                                   batch_stats=state.batch_stats,
+                                   opt_state=state.opt_state, step=state.step) \
+                if semi_mode else state
+            for batch_l in train_loader_l:
+                sup_state, metrics = sup_step(sup_state, _model_batch(batch_l, jnp), lr)
+                for k in meters:
+                    meters[k].update(float(metrics[k]))
+            if semi_mode:
+                state = state.replace(params=sup_state.params,
+                                      batch_stats=sup_state.batch_stats,
+                                      opt_state=sup_state.opt_state,
+                                      step=sup_state.step)
+            else:
+                state = sup_state
+
+        logger.info(f"epoch {epoch}/{cfg.epochs} lr={float(lr):.6f} "
+                    f"loss={meters['loss'].avg:.5f} "
+                    f"sup={meters['sup_loss'].avg:.5f} "
+                    f"unsup={meters['unsup_loss'].avg:.5f} "
+                    f"({time.time() - t0:.1f}s)")
+        if writer:
+            writer.add_scalar("train_loss", meters["loss"].avg, epoch)
+            writer.add_scalar("lr", float(lr), epoch)
+
+        if epoch % int(cfg.get("val_freq", 250)) == 0 or epoch == int(cfg.epochs):
+            res = validate(eval_step, state.variables, val_loader, cfg, logger)
+            results["val"] = res
+            is_best = res["whole_miou"] >= best["miou"] or np.isnan(best["miou"])
+            if is_best and not np.isnan(res["whole_miou"]):
+                best.update(miou=res["whole_miou"], dsc=res["whole_dsc"],
+                            acc=res["whole_acc"], epoch=epoch)
+            if writer:
+                for k, v in res.items():
+                    writer.add_scalar(f"val_{k}", v, epoch)
+            if cfg.get("ckpt_dir"):
+                save_checkpoint(cfg, state, epoch,
+                                additional_dict=best, is_best=is_best,
+                                save_freq=cfg.get("save_freq"))
+
+        if epoch % int(cfg.get("test_freq", 250)) == 0 or epoch == int(cfg.epochs):
+            res = validate(eval_step, state.variables, test_loader, cfg, logger)
+            results["test"] = res
+            if writer:
+                for k, v in res.items():
+                    writer.add_scalar(f"test_{k}", v, epoch)
+
+    results["best"] = best
+    if writer:
+        writer.close()
+    return results
+
+
+def parse_and_run(argv=None):
+    parser = argparse.ArgumentParser("GeoT-TPU segmentation training")
+    parser.add_argument("--cfg", type=str, required=True)
+    args, opts = parser.parse_known_args(argv)
+    cfg = EasyConfig()
+    cfg.load(args.cfg, recursive=True)
+    cfg.update(opts)
+    if cfg.get("seed") is None:
+        cfg.seed = int(np.random.randint(1, 10000))
+
+    cfg.task_name = args.cfg.split(".")[-2].split("/")[-2]
+    cfg.cfg_basename = args.cfg.split(".")[-2].split("/")[-1]
+    tags = [cfg.task_name, cfg.get("mode", "train"), cfg.cfg_basename,
+            f"seed{cfg.seed}"]
+    cfg.root_dir = os.path.join(cfg.get("root_dir", "./log"), cfg.task_name)
+    if cfg.get("mode") in ("resume", "test", "val"):
+        resume_exp_directory(cfg, pretrained_path=cfg.get("pretrained_path"))
+    else:
+        generate_exp_directory(cfg, tags)
+    import yaml
+
+    with open(os.path.join(cfg.run_dir, "cfg.yaml"), "w") as f:
+        yaml.dump(cfg.dict(), f, indent=2)
+    return main(cfg)
+
+
+if __name__ == "__main__":
+    parse_and_run()

@@ -19,7 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops import fps_gather, grouping_operation, knn, three_interpolation
+from ...ops import (fps, fps_gather, gather_points, grouping_operation, knn,
+                    three_interpolation)
 from ..build import MODELS
 from ..layers.common import DropPath, MlpBlock, SharedMLP, drop_path_rates
 from ..layers.group_embed import GroupTokenizer
@@ -231,8 +232,19 @@ class _PointTransformerSegBase(nn.Module):
         B, N, _ = pts.shape
         D = self.trans_dim
 
-        tokenizer = GroupTokenizer(self.num_group, self.group_size)
-        neighborhood, center, _ = tokenizer(pts)
+        # FPS prefix sharing: greedy FPS selections are incremental, so the
+        # tokenizer centers (num_group) and the whole decoder pyramid
+        # (downsample_targets) are prefixes of ONE max-length FPS run — the
+        # reference's four separate CUDA FPS launches (``transformer.py:1017,
+        # 1037-1040``) collapse into a single kernel call with identical
+        # results (same start-at-0 convention).
+        max_n = max(max(self.downsample_targets), self.num_group)
+        fps_idx = fps(pts, max_n)
+        fps_pts = gather_points(pts, fps_idx)
+
+        center = fps_pts[:, : self.num_group]
+        _, knn_idx = knn(center, pts, self.group_size)
+        neighborhood = grouping_operation(pts, knn_idx) - center[:, :, None, :]
         tokens = MiniPointNetEncoder(self.encoder_dims,
                                      name="encoder")(neighborhood, training=training)
         if self.encoder_dims != D:
@@ -253,8 +265,8 @@ class _PointTransformerSegBase(nn.Module):
         cls_onehot = jnp.broadcast_to(cls_onehot[:, None, :], (B, N, 2))
         f_l0_in = jnp.concatenate([cls_onehot, pts], axis=-1)        # (B,N,5)
 
-        # FPS pyramid over the original cloud (reference ``transformer.py:1037-1040``)
-        center_pts = [fps_gather(pts, t) for t in self.downsample_targets]
+        # FPS pyramid = prefixes of the shared run (see above)
+        center_pts = [fps_pts[:, :t] for t in self.downsample_targets]
 
         f_l3 = taps[2]                                               # (B,512,D)
         f_l2 = FeaturePropagation([D * 4, D], name="propagation_2")(

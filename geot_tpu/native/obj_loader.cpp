@@ -1,0 +1,92 @@
+// Fast OBJ vertex parser.
+//
+// Replaces the reference's open3d C++ IO path (``openpoints/dataset/io.py``
+// reads scans with open3d.io.read_triangle_mesh).  Tooth scans are ~100k-300k
+// vertices; python-line parsing costs ~1s/scan, this parser ~10ms: mmap the
+// file, scan for "v " lines, parse floats with strtof.
+//
+// C ABI for ctypes:
+//   long obj_count_vertices(const char* path);
+//   long obj_load_vertices(const char* path, float* out, long capacity);
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+struct Mapped {
+  const char* data = nullptr;
+  size_t size = 0;
+  int fd = -1;
+  bool ok() const { return data != nullptr; }
+  ~Mapped() {
+    if (data) munmap(const_cast<char*>(data), size);
+    if (fd >= 0) close(fd);
+  }
+};
+
+Mapped map_file(const char* path) {
+  Mapped m;
+  m.fd = open(path, O_RDONLY);
+  if (m.fd < 0) return m;
+  struct stat st;
+  if (fstat(m.fd, &st) != 0 || st.st_size == 0) return m;
+  void* p = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, m.fd, 0);
+  if (p == MAP_FAILED) return m;
+  m.data = static_cast<const char*>(p);
+  m.size = st.st_size;
+  return m;
+}
+
+// is this position the start of a "v " vertex line?
+inline bool vertex_line(const char* p, const char* begin) {
+  return p[0] == 'v' && (p[1] == ' ' || p[1] == '\t') &&
+         (p == begin || p[-1] == '\n' || p[-1] == '\r');
+}
+
+}  // namespace
+
+extern "C" {
+
+long obj_count_vertices(const char* path) {
+  Mapped m = map_file(path);
+  if (!m.ok()) return -1;
+  long count = 0;
+  const char* p = m.data;
+  const char* end = m.data + m.size;
+  while (p < end - 1) {
+    if (vertex_line(p, m.data)) ++count;
+    // jump to next line
+    p = static_cast<const char*>(memchr(p, '\n', end - p));
+    if (!p) break;
+    ++p;
+  }
+  return count;
+}
+
+long obj_load_vertices(const char* path, float* out, long capacity) {
+  Mapped m = map_file(path);
+  if (!m.ok()) return -1;
+  long count = 0;
+  const char* p = m.data;
+  const char* end = m.data + m.size;
+  while (p < end - 1) {
+    if (vertex_line(p, m.data) && count < capacity) {
+      char* cursor = const_cast<char*>(p + 2);
+      out[count * 3 + 0] = strtof(cursor, &cursor);
+      out[count * 3 + 1] = strtof(cursor, &cursor);
+      out[count * 3 + 2] = strtof(cursor, &cursor);
+      ++count;
+    }
+    p = static_cast<const char*>(memchr(p, '\n', end - p));
+    if (!p) break;
+    ++p;
+  }
+  return count;
+}
+
+}  // extern "C"

@@ -1,0 +1,3 @@
+from .factory import build_optimizer_from_cfg, build_scheduler_from_cfg
+
+__all__ = ["build_optimizer_from_cfg", "build_scheduler_from_cfg"]

@@ -1,0 +1,3 @@
+from .mesh import make_mesh, param_sharding_rules, shard_batch, shard_state
+
+__all__ = ["make_mesh", "param_sharding_rules", "shard_batch", "shard_state"]

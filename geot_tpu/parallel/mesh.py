@@ -1,0 +1,87 @@
+"""Mesh + sharding utilities.
+
+The reference's only parallelism is torch DDP + SyncBN over NCCL
+(``examples/segmentation/train.py:159-166``, ``openpoints/utils/dist_utils.py``).
+The TPU-native equivalent needs no communication code at all: one jitted train
+step over a ``Mesh``, with
+
+- **dp**: batch axis sharded -> gradient all-reduce AND cross-replica
+  batch-norm statistics fall out of GSPMD (BatchNorm reduces over the global
+  batch, which IS SyncBN semantics);
+- **tp**: attention qkv/proj and MLP fc1/fc2 kernels sharded column/row-wise
+  (Megatron layout) -> XLA inserts the psums on ICI.
+
+``shard_state``/``shard_batch`` place an existing pytree accordingly.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, dp: int | None = None, tp: int = 1) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    dp = dp if dp is not None else n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != n_devices({n})"
+    dev_array = np.asarray(devices).reshape(dp, tp)
+    return Mesh(dev_array, axis_names=("dp", "tp"))
+
+
+# Megatron-style tensor-parallel layout for the transformer blocks:
+# column-parallel (shard output features) for qkv & fc1, row-parallel (shard
+# input features) for proj & fc2.  Everything else is replicated.
+_TP_RULES = [
+    (re.compile(r".*attn.*qkv.*kernel"), P(None, "tp")),
+    (re.compile(r".*attn.*proj.*kernel"), P("tp", None)),
+    (re.compile(r".*mlp.*fc1.*kernel"), P(None, "tp")),
+    (re.compile(r".*mlp.*fc2.*kernel"), P("tp", None)),
+]
+
+
+def param_sharding_rules(path: str, leaf) -> P:
+    if getattr(leaf, "ndim", 0) >= 2:
+        for pattern, spec in _TP_RULES:
+            if pattern.match(path):
+                return spec
+    return P()
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def shard_params(params, mesh: Mesh):
+    def place(path, leaf):
+        spec = param_sharding_rules(_path_str(path), leaf)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_state(state: Any, mesh: Mesh):
+    """Place a TrainState/SemiTrainState: params (and matching optimizer
+    moments) by the tp rules, everything else replicated."""
+
+    def place(path, leaf):
+        p = _path_str(path)
+        spec = param_sharding_rules(p, leaf)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, state)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard every array's leading (batch) axis over dp."""
+
+    def place(leaf):
+        if getattr(leaf, "ndim", 0) >= 1:
+            return jax.device_put(
+                leaf, NamedSharding(mesh, P("dp", *([None] * (leaf.ndim - 1)))))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, batch)

@@ -1,0 +1,8 @@
+#!/bin/bash
+# Run the test suite on pure CPU (8 virtual devices).
+# The env vars MUST be set before the interpreter starts: the axon TPU plugin
+# registers in sitecustomize.py at startup, so conftest.py is too late.
+export PALLAS_AXON_POOL_IPS=
+export JAX_PLATFORMS=cpu
+export XLA_FLAGS="--xla_force_host_platform_device_count=8"
+exec python -m pytest "${@:-tests/ -x -q}"

@@ -1,19 +1,16 @@
 """Test config.
 
-Requests an 8-virtual-device CPU platform so sharding tests can exercise a
-multi-chip mesh without TPU hardware (SURVEY.md §4 item 4).  Note: under the
-axon TPU tunnel the default platform stays TPU regardless of JAX_PLATFORMS —
-compute tests then run on the real chip (good), and mesh tests explicitly pick
-``jax.devices('cpu')``.
+Run the suite through ``scripts/test.sh``: it exports the pure-CPU env
+(``PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8``)
+BEFORE the interpreter starts.  Setting those here is too late — the axon TPU
+plugin registers in sitecustomize.py at startup, so a bare ``pytest`` run
+executes on the (single-tenant, remote-compiled) TPU.  The env mutation below
+is kept as a best-effort fallback for subprocesses the tests may spawn.
 """
 import os
 
-# Run the test suite on pure CPU, bypassing the axon TPU plugin entirely:
-# the TPU is single-tenant behind a relay, and a killed test process leaves a
-# stale claim that wedges the chip for ~2 minutes.  TPU validation is driven
-# deliberately (bench.py / scripts), not from pytest.
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,181 @@
+"""Data pipeline tests: transforms, datasets (synthetic mode), loader,
+native IO round-trips."""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from geot_tpu.data import (DATASETS, Compose, build_dataloader_from_cfg,
+                           build_semi_dataloader_from_cfg,
+                           build_transforms_from_cfg, get_class_weights)
+from geot_tpu.data.io import load_obj_vertices
+from geot_tpu.data.transforms import DataTransforms
+
+# the exact transform config of the flagship experiment
+# (cfgs/tooth_semi/transformer_finetune_fixmatch_ntm.yaml:98-119)
+DT_CFG = {
+    "train": ["PointsToTensor", "PointCloudScaling", "PointCloudCenterAndNormalize"],
+    "train_w": ["PointsToTensor", "PointCloudCenterAndNormalize"],
+    "train_s": ["PointsToTensor", "PointCloudScaling_s", "PointCloudCenterAndNormalize",
+                "PointCloudRotation_s", "PointCloudTranslation_s"],
+    "val": ["PointsToTensor", "PointCloudCenterAndNormalize"],
+    "kwargs": {"jitter_sigma": 0.001, "jitter_clip": 0.005, "scale": [0.9, 1.1],
+               "gravity_dim": 1, "shift": [0.1, 0.1, 0.1], "angle": [0.5, 0.5, 0.5],
+               "jitter_sigma_s": 0.001, "jitter_clip_s": 0.005,
+               "scale_s": [0.8, 1.2], "shift_s": [0.2, 0.2, 0.2], "angle_s": [1, 1, 1]},
+}
+
+DS_CFG = {
+    "common": {"NAME": "TeethSegSemiLDataset", "data_root": "/nonexistent",
+               "num_points": 512},
+    "train": {"split": "train"},
+    "val": {"split": "val"},
+}
+
+
+class TestTransforms:
+    def test_center_and_normalize(self, rng):
+        t = build_transforms_from_cfg("val", DT_CFG)
+        pos = rng.standard_normal((100, 3)).astype(np.float32) * 5 + 3
+        data = t({"pos": pos.copy(), "x": pos.copy()}, rng)
+        assert np.abs(data["pos"].mean(0)).max() < 1e-5
+        assert np.sqrt((data["pos"] ** 2).sum(-1)).max() == pytest.approx(1.0, abs=1e-5)
+        assert "heights" in data
+
+    def test_rotation_preserves_norms(self, rng):
+        t = DataTransforms.build({"NAME": "PointCloudRotation", "angle": [1, 1, 1]})
+        pos = rng.standard_normal((64, 3)).astype(np.float32)
+        out = t({"pos": pos.copy()}, rng)["pos"]
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1),
+                                   np.linalg.norm(pos, axis=1), atol=1e-4)
+        assert not np.allclose(out, pos)
+
+    def test_strong_kwargs_convention(self, rng):
+        """_s transforms must read *_s kwargs (FixMatch strength split)."""
+        t = DataTransforms.build({"NAME": "PointCloudScaling_s",
+                                  "scale": [1.0, 1.0], "scale_s": [3.0, 3.0]})
+        pos = np.ones((10, 3), dtype=np.float32)
+        out = t({"pos": pos.copy()}, rng)["pos"]
+        np.testing.assert_allclose(out, 3.0, atol=1e-5)
+
+    def test_scaling_range(self, rng):
+        t = DataTransforms.build({"NAME": "PointCloudScaling", "scale": [0.9, 1.1]})
+        pos = np.ones((10, 3), dtype=np.float32)
+        out = t({"pos": pos.copy()}, rng)["pos"]
+        assert (out >= 0.9 - 1e-6).all() and (out <= 1.1 + 1e-6).all()
+
+
+class TestDatasets:
+    def test_labeled_synthetic_train(self):
+        ds = DATASETS.build({"NAME": "TeethSegSemiLDataset",
+                             "data_root": "/nonexistent", "num_points": 512,
+                             "split": "train"})
+        assert ds.synthetic and len(ds) > 0
+        s = ds[0]
+        assert s["pos"].shape == (512, 3) and s["y"].shape == (512,)
+        assert s["class_weights"].shape == (17,)
+        assert s["class_weights"].sum() == pytest.approx(1.0, abs=1e-5)
+        assert set(np.unique(s["y"])) <= set(range(17))
+
+    def test_labeled_val_has_fullres(self):
+        ds = DATASETS.build({"NAME": "TeethSegSemiLDataset",
+                             "data_root": "/nonexistent", "num_points": 256,
+                             "split": "val"})
+        s = ds[0]
+        for k in ("points", "labels", "center", "scale"):
+            assert k in s
+        assert len(s["points"]) > 256
+
+    def test_unlabeled_weak_strong_keys(self):
+        tw = build_transforms_from_cfg("train_w", DT_CFG)
+        ts = build_transforms_from_cfg("train_s", DT_CFG)
+        ds = DATASETS.build({"NAME": "TeethSegSemiUDataset",
+                             "data_root": "/nonexistent", "num_points": 256,
+                             "split": "train", "transform_w": tw, "transform_s": ts})
+        s = ds[0]
+        for k in ("pos_w", "pos_s", "x_w", "x_s", "cls_w", "cls_s", "raw_pos"):
+            assert k in s, k
+        # strong is more aggressively augmented than weak
+        assert not np.allclose(s["pos_w"], s["pos_s"])
+
+    def test_loaders_batch_shapes(self):
+        loader = build_dataloader_from_cfg(4, DS_CFG, {"num_workers": 2},
+                                           DT_CFG, split="train")
+        batch = next(iter(loader))
+        assert batch["pos"].shape == (4, 512, 3)
+        assert batch["y"].shape == (4, 512)
+
+        semi_cfg = {"common": {"NAME": "TeethSegSemiUDataset",
+                               "data_root": "/nonexistent", "num_points": 512},
+                    "train": {"split": "train"}}
+        loader_u = build_semi_dataloader_from_cfg(4, semi_cfg, {"num_workers": 2},
+                                                  DT_CFG, split="train")
+        batch_u = next(iter(loader_u))
+        assert batch_u["pos_s"].shape == (4, 512, 3)
+
+    def test_epoch_shuffling_changes_order(self):
+        loader = build_dataloader_from_cfg(4, DS_CFG, {"num_workers": 1},
+                                           DT_CFG, split="train")
+        loader.set_epoch(0)
+        a = loader._epoch_indices()
+        loader.set_epoch(1)
+        b = loader._epoch_indices()
+        assert not np.array_equal(a, b)
+
+    def test_sharding_partitions(self):
+        loader = build_dataloader_from_cfg(2, DS_CFG, {"num_workers": 1},
+                                           DT_CFG, split="val")
+        loader.num_shards, loader.shard_index = 2, 0
+        a = set(loader._epoch_indices().tolist())
+        loader.shard_index = 1
+        b = set(loader._epoch_indices().tolist())
+        assert a.isdisjoint(b)
+
+    def test_shapenetpart_synthetic(self):
+        ds = DATASETS.build({"NAME": "ShapeNetPartNormal", "data_root": "",
+                             "num_points": 128})
+        s = ds[3]
+        assert s["pos"].shape == (128, 3) and s["x"].shape == (128, 6)
+
+    def test_class_weights_helper(self):
+        w = get_class_weights([10, 20, 70], normalize=True)
+        assert w.shape == (3,) and abs(w.sum() - 3.0) < 1e-5
+        assert w[0] > w[2]  # rare class weighted up
+
+
+class TestNativeIO:
+    def test_obj_roundtrip(self, rng):
+        verts = rng.standard_normal((100, 3)).astype(np.float32)
+        with tempfile.NamedTemporaryFile("w", suffix=".obj", delete=False) as f:
+            f.write("# comment\n")
+            for v in verts:
+                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+            f.write("f 1 2 3\nvn 0 0 1\n")
+            path = f.name
+        try:
+            loaded = load_obj_vertices(path)
+            assert loaded.shape == (100, 3)
+            np.testing.assert_allclose(loaded, verts, atol=1e-5)
+        finally:
+            os.unlink(path)
+
+    def test_native_grid_subsample_matches_numpy(self, rng):
+        from geot_tpu.native import grid_subsample_native
+        from geot_tpu.ops import grid_subsample
+
+        pts = rng.uniform(0, 2, (500, 3)).astype(np.float32)
+        labels = rng.integers(0, 5, 500).astype(np.int32)
+        native = grid_subsample_native(pts, labels=labels, sample_dl=0.5,
+                                       num_classes=5)
+        if native is None:
+            pytest.skip("native toolchain unavailable")
+        np_pts, np_lab = grid_subsample(pts, labels=labels, sample_dl=0.5,
+                                        num_classes=5)
+        na_pts, na_lab = native
+        assert len(na_pts) == len(np_pts)
+        # voxel order may differ; compare as sorted sets
+        order_a = np.lexsort(na_pts.T)
+        order_b = np.lexsort(np_pts.T)
+        np.testing.assert_allclose(na_pts[order_a], np_pts[order_b], atol=1e-5)
+        np.testing.assert_array_equal(na_lab[order_a], np_lab[order_b])

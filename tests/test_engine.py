@@ -1,0 +1,93 @@
+"""Loop-level tests (SURVEY.md §4 item 3): NTM machinery units + a full
+2-epoch semi-supervised smoke run on synthetic data."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from geot_tpu.core.config import EasyConfig
+from geot_tpu.engine.semi import (LABEL_PROJ, combine_T, apply_T,
+                                  estimate_class_T, gaussian_prior_T,
+                                  ntm_update, pseudo_stats)
+
+C = 17
+
+
+class TestNTM:
+    def test_estimate_class_T_picks_anchor_rows(self, rng):
+        probs = jax.nn.softmax(jnp.asarray(
+            rng.standard_normal((2, 32, C)).astype(np.float32)), -1)
+        T = np.asarray(estimate_class_T(probs))
+        flat = np.asarray(probs).reshape(-1, C)
+        for c in range(C):
+            np.testing.assert_allclose(T[c], flat[flat[:, c].argmax()], atol=1e-6)
+
+    def test_gaussian_prior_structure(self):
+        sigma = jnp.full((C,), 0.4)
+        prior = np.asarray(gaussian_prior_T(sigma))
+        np.testing.assert_allclose(prior.sum(1), 1.0, atol=1e-5)
+        assert prior[0, 0] == pytest.approx(1.0)
+        assert (prior[1:, 0] == 0).all()
+        # neighbouring teeth in LABEL_PROJ order get higher prior than distant
+        assert prior[1, 2] > prior[1, 8]
+
+    def test_ntm_update_rows_normalised(self, rng):
+        probs = jax.nn.softmax(jnp.asarray(
+            rng.standard_normal((2, 64, C)).astype(np.float32)), -1)
+        out = ntm_update(jnp.eye(C), probs, jnp.full((C,), 0.4))
+        np.testing.assert_allclose(np.asarray(out.ema_t).sum(1), 1.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.ema_t_corr).sum(1), 1.0, atol=1e-5)
+
+    def test_ema_close_to_identity_at_high_decay(self, rng):
+        probs = jax.nn.softmax(jnp.asarray(
+            rng.standard_normal((1, 32, C)).astype(np.float32)), -1)
+        out = ntm_update(jnp.eye(C), probs, jnp.full((C,), 0.4),
+                         ema_t_decay=0.999)
+        assert np.abs(np.asarray(out.ema_t) - np.eye(C)).max() < 0.01
+
+    def test_sigma_gradient_flows_through_corr(self):
+        probs = jax.nn.softmax(jnp.ones((1, 8, C)), -1)
+
+        def f(sigma):
+            return jnp.sum(ntm_update(jnp.eye(C), probs, sigma).ema_t_corr ** 2)
+
+        g = jax.grad(f)(jnp.full((C,), 0.4))
+        assert np.abs(np.asarray(g)).sum() > 0
+
+    def test_combine_and_apply(self, rng):
+        ema = jnp.eye(C)
+        ins = jnp.broadcast_to(jnp.eye(C), (8, C, C))
+        newT = combine_T(ema, ins, 0.9)
+        np.testing.assert_allclose(np.asarray(newT).sum(-1), 1.0, atol=1e-5)
+        logits = jnp.asarray(rng.standard_normal((1, 8, C)).astype(np.float32))
+        out = apply_T(logits, newT)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(logits), atol=1e-5)
+
+    def test_pseudo_stats_perfect_labels(self):
+        y = jnp.asarray(np.arange(32).reshape(1, 32) % C)
+        stats = pseudo_stats(y, y, jnp.ones((1, 32)), 0.5, C)
+        assert float(stats["pseudo_acc"]) == pytest.approx(100.0)
+        assert float(stats["over_th"]) == pytest.approx(100.0)
+
+
+class TestSmokeTrain:
+    @pytest.mark.slow
+    def test_two_epoch_semi_run(self, tmp_path):
+        from geot_tpu.engine.train import main
+
+        cfg = EasyConfig()
+        cfg.load(os.path.join(os.path.dirname(__file__), "..",
+                              "cfgs", "tooth_semi", "smoke.yaml"), recursive=True)
+        cfg.run_dir = str(tmp_path / "run")
+        cfg.ckpt_dir = str(tmp_path / "run" / "checkpoint")
+        cfg.run_name = "smoke"
+        os.makedirs(cfg.ckpt_dir, exist_ok=True)
+        results = main(cfg)
+        assert "val" in results
+        assert np.isfinite(results["val"]["whole_acc"])
+        # checkpoint written
+        assert any("ckpt" in d for d in os.listdir(cfg.ckpt_dir))
+        # scalars logged
+        assert (tmp_path / "run" / "scalars.jsonl").exists()
