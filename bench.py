@@ -22,11 +22,11 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+_IS_CPU = os.environ.get("BENCH_CPU") == "1"
+BATCH = int(os.environ.get("BENCH_BATCH", "2" if _IS_CPU else "8"))
 N_POINTS = 16000
-POOL = 8
-WARMUP = 2
-ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+WARMUP = 1 if _IS_CPU else 2
+ITERS = int(os.environ.get("BENCH_ITERS", "1" if _IS_CPU else "20"))
 CPU_REF_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_cpu_ref.json")
 
@@ -44,24 +44,26 @@ def main():
 
     model, variables, _ = _build(FLAGSHIP_SEG_ARGS, N_POINTS, BATCH)
 
-    fwd = jax.jit(lambda v, b: model.apply(v, b)[0])
+    # reduce to a scalar on device: forces full compute per call with a
+    # 4-byte D2H; ``block_until_ready`` is a NO-OP through the axon tunnel
+    # and repeated identical input buffers hit a result cache, so honest
+    # timing needs (a) never-repeated buffers, (b) a value fetch as barrier.
+    fwd = jax.jit(lambda v, b: jnp.sum(model.apply(v, b)[0]))
     rng = np.random.default_rng(0)
 
     def fresh_batch():
         pos = jnp.asarray(rng.standard_normal((BATCH, N_POINTS, 3)).astype(np.float32))
         return {"pos": pos, "x": pos, "cls": jnp.zeros((BATCH, 1), jnp.int32)}
 
-    # every iteration gets a NEVER-REPEATED buffer: repeated identical inputs
-    # are served from a result cache in the axon path and time at ~0.3 ms
     batches = [fresh_batch() for _ in range(WARMUP + ITERS)]
     for i in range(WARMUP):
-        out = fwd(variables, batches[i])
-    jax.block_until_ready(out)
+        float(fwd(variables, batches[i]))
 
+    # dispatch everything, fetch the last scalar: device executes FIFO, so
+    # one round-trip covers all ITERS computations
     t0 = time.time()
-    for i in range(ITERS):
-        out = fwd(variables, batches[WARMUP + i])
-    jax.block_until_ready(out)
+    outs = [fwd(variables, batches[WARMUP + i]) for i in range(ITERS)]
+    float(outs[-1])
     dt = (time.time() - t0) / ITERS
     scans_per_sec = BATCH / dt
 

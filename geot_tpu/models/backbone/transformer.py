@@ -94,11 +94,11 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         C = x.shape[-1]
-        h = nn.LayerNorm(name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         h = Attention(self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
                       name="attn")(h, training=training)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, training=training)
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         h = MlpBlock(int(C * self.mlp_ratio), C, self.drop,
                      name="mlp")(h, training=training)
         x = x + DropPath(self.drop_path, name="drop_path2")(h, training=training)
@@ -254,7 +254,7 @@ class _PointTransformerSegBase(nn.Module):
                                 self.drop_path_rate,
                                 extract_layers=tuple(self.extract_layers),
                                 name="blocks")(tokens, pos, training=training)
-        norm = nn.LayerNorm(name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         taps = [norm(t) for t in taps]
 
         # jaw one-hot (mandible/maxillary) broadcast to every point
