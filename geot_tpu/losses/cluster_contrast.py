@@ -1,0 +1,207 @@
+"""Class-prototype cluster-contrast losses.
+
+Reference: ``utils/cluster_contrastloss.py:10-1185`` —
+``nativeContrastLoss_class`` (per-class EMA prototype centers + per-class
+ring-buffer pixel queues; ppc anchor-vs-anchor InfoNCE with queue negatives +
+pcc anchor-vs-center), ``nativeContrastLoss_subclass`` (confidence-quantile
+subclasses) and ``nativeContrastLoss_subclass_t`` (teacher-feature contrast).
+
+Fixed-shape redesign (SURVEY.md §7 hard-part 3): the reference's dynamic
+``nonzero``/``randperm`` per-class sampling becomes a gumbel-perturbed top-k
+over priority keys — per (cloud, class) exactly ``n_view`` slots are drawn,
+half prioritised to *hard* points (predicted c but labelled otherwise), half
+to *easy*, each slot carrying a validity flag.  Spillover between the
+hard/easy halves is approximated by the key priorities rather than exact
+counting; queue and center updates are mod-indexed scatters on an explicit
+state pytree.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class ClassContrastState(NamedTuple):
+    centers: jnp.ndarray     # (P, D) L2-normalised EMA prototypes
+    queues: jnp.ndarray      # (P, Q, D)
+    ptrs: jnp.ndarray        # (P,) int32
+
+    @staticmethod
+    def create(rng, num_prototypes: int, dim: int = 64, queue_size: int = 150):
+        r1, r2 = jax.random.split(rng)
+        c = jax.random.normal(r1, (num_prototypes, dim))
+        c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+        q = jax.random.normal(r2, (num_prototypes, queue_size, dim))
+        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        return ClassContrastState(centers=c, queues=q,
+                                  ptrs=jnp.zeros((num_prototypes,), jnp.int32))
+
+
+def _sample_per_class(rng, pred, label, num_classes, n_view):
+    """For each (cloud, class): n_view slots, hard points (pred==c, label!=c)
+    prioritised into the first half, easy into the second, random within
+    groups. Returns (idx (B, C, n_view), valid (B, C, n_view))."""
+    B, N = pred.shape
+    g = jax.random.uniform(rng, (B, N))
+    half = n_view // 2
+
+    idx_list, valid_list = [], []
+    is_pred = jax.nn.one_hot(pred, num_classes, dtype=bool)          # (B, N, C)
+    hard = is_pred & (label[..., None] != jnp.arange(num_classes))
+    easy = is_pred & (label[..., None] == jnp.arange(num_classes))
+
+    def per_class(hard_c, easy_c, gb):
+        # keys: hard gets +3, easy +2 on the first half; swapped on second —
+        # ensures each half prefers its own kind but backfills from the other
+        key_hard_half = jnp.where(hard_c, gb + 3.0, jnp.where(easy_c, gb + 2.0, gb))
+        key_easy_half = jnp.where(easy_c, gb + 3.0, jnp.where(hard_c, gb + 2.0, gb))
+        _, i1 = jax.lax.top_k(key_hard_half, half)
+        # exclude first-half picks from the second half
+        taken = jnp.zeros_like(gb).at[i1].set(-10.0)
+        _, i2 = jax.lax.top_k(key_easy_half + taken, n_view - half)
+        idx = jnp.concatenate([i1, i2])
+        member = hard_c | easy_c
+        valid = member[idx]
+        return idx, valid
+
+    f = jax.vmap(jax.vmap(per_class, in_axes=(1, 1, None)), in_axes=(0, 0, 0))
+    idx, valid = f(hard, easy, g)                                    # (B, C, n_view)
+    return idx, valid
+
+
+def _info_nce(anchors, contrast, pos_mask, extra_neg=None, extra_neg_mask=None,
+              temperature=0.1, base_temperature=1.0, drop_self=False,
+              anchor_valid=None):
+    """Shared InfoNCE core (reference ``_ppc_contrastive_v1``/``_pcc``,
+    ``cluster_contrastloss.py:200-330``)."""
+    M = anchors.shape[0]
+    logits = (anchors @ contrast.T) / temperature
+    logits = logits - jax.lax.stop_gradient(jnp.max(logits, 1, keepdims=True))
+    if drop_self:
+        eye = jnp.eye(M)
+        pos_mask = pos_mask * (1 - eye)
+    neg_mask = (1.0 - pos_mask) if extra_neg is None else (1.0 - pos_mask)
+    if drop_self:
+        neg_mask = neg_mask * (1 - jnp.eye(M))
+    neg_logits = jnp.sum(jnp.exp(logits) * neg_mask, axis=1, keepdims=True)
+    if extra_neg is not None:
+        ln = (anchors @ extra_neg.T) / temperature
+        ln = ln - jax.lax.stop_gradient(jnp.max(ln, 1, keepdims=True))
+        neg_logits = neg_logits + jnp.sum(jnp.exp(ln) * extra_neg_mask, 1,
+                                          keepdims=True)
+    log_prob = logits - jnp.log(jnp.exp(logits) + neg_logits)
+    pos_count = jnp.sum(pos_mask, axis=1)
+    has_pos = pos_count > 0
+    if anchor_valid is not None:
+        has_pos = has_pos & anchor_valid
+    mean_lp = jnp.sum(pos_mask * log_prob, axis=1) / jnp.maximum(pos_count, 1.0)
+    per = -(temperature / base_temperature) * mean_lp
+    denom = jnp.maximum(jnp.sum(has_pos.astype(per.dtype)), 1.0)
+    return jnp.sum(jnp.where(has_pos, per, 0.0)) / denom
+
+
+def class_contrast_loss(state: ClassContrastState, rng, feats, pred, label,
+                        conf: Optional[jnp.ndarray] = None,
+                        num_classes: int = 17, n_view: int = 100,
+                        subclasses: int = 1, temperature: float = 0.1,
+                        mu: float = 0.99, pixel_update: int = 30,
+                        pcc_weight: float = 10.0,
+                        teacher_feats: Optional[jnp.ndarray] = None):
+    """One step of the cluster-contrast family; returns (loss, new_state).
+
+    - ``subclasses=1``: ``nativeContrastLoss_class``.
+    - ``subclasses=K>1``: the confidence-quantile subclass variants — bins are
+      assigned by confidence rank within each class's sampled slots.
+    - ``teacher_feats`` given: ``_subclass_t`` — anchors are student features,
+      the contrast set is the teacher's (positives = same (sub)class).
+
+    feats/teacher_feats: (B, N, D); pred/label: (B, N) int; conf: (B, N).
+    """
+    B, N, D = feats.shape
+    feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+    if teacher_feats is not None:
+        teacher_feats = teacher_feats / (
+            jnp.linalg.norm(teacher_feats, axis=-1, keepdims=True) + 1e-12)
+
+    samp_rng, q_rng = jax.random.split(rng)
+    idx, valid = _sample_per_class(samp_rng, pred, label, num_classes, n_view)
+
+    def gather(x):
+        flat = idx.reshape(B, -1)
+        return jnp.take_along_axis(x, flat[..., None], axis=1).reshape(
+            B, num_classes, n_view, -1)
+
+    anchors = gather(feats)                                   # (B, C, V, D)
+    contrast_src = gather(teacher_feats) if teacher_feats is not None else anchors
+
+    cls_ids = jnp.broadcast_to(jnp.arange(num_classes)[None, :, None],
+                               (B, num_classes, n_view))
+    if subclasses > 1 and conf is not None:
+        conf_s = jnp.take_along_axis(conf, idx.reshape(B, -1), axis=1).reshape(
+            B, num_classes, n_view)
+        # rank-based quantile bins within each (cloud, class) slot set
+        order = jnp.argsort(jnp.argsort(conf_s, axis=-1), axis=-1)
+        bins = (order * subclasses) // n_view
+        proto_ids = cls_ids * subclasses + bins
+    else:
+        proto_ids = cls_ids
+
+    P = num_classes * subclasses
+    M = B * num_classes * n_view
+    a = anchors.reshape(M, D)
+    c = contrast_src.reshape(M, D)
+    y = proto_ids.reshape(M)
+    v = valid.reshape(M)
+
+    same = (y[:, None] == y[None, :]).astype(jnp.float32)
+    vmask = v[:, None].astype(jnp.float32) * v[None, :].astype(jnp.float32)
+    pos_mask = same * vmask
+
+    queue_flat = state.queues.reshape(-1, D)                  # (P*Q, D)
+    q_ids = jnp.repeat(jnp.arange(P), state.queues.shape[1])
+    queue_neg_mask = (y[:, None] != q_ids[None, :]).astype(jnp.float32)
+
+    ppc = _info_nce(a, c, pos_mask, extra_neg=queue_flat,
+                    extra_neg_mask=queue_neg_mask, temperature=temperature,
+                    drop_self=teacher_feats is None, anchor_valid=v)
+    center_pos = jax.nn.one_hot(y, P) * v[:, None]
+    pcc = _info_nce(a, state.centers, center_pos, temperature=temperature,
+                    anchor_valid=v)
+    loss = ppc + pcc_weight * pcc
+
+    # --- state updates (stop-gradient) ---------------------------------
+    a_sg = jax.lax.stop_gradient(c if teacher_feats is not None else a)
+    vf = v.astype(jnp.float32)[:, None]
+    sums = jax.ops.segment_sum(a_sg * vf, y, num_segments=P)
+    counts = jax.ops.segment_sum(vf[:, 0], y, num_segments=P)
+    means = sums / jnp.maximum(counts[:, None], 1.0)
+    new_centers = jnp.where(counts[:, None] > 0,
+                            mu * state.centers + (1 - mu) * means,
+                            state.centers)
+    new_centers = new_centers / (jnp.linalg.norm(new_centers, axis=-1,
+                                                 keepdims=True) + 1e-12)
+
+    # queue: enqueue up to ``pixel_update`` random valid feats per prototype
+    Q = state.queues.shape[1]
+    g = jax.random.uniform(q_rng, (M,)) + v.astype(jnp.float32)
+    take = min(pixel_update, n_view)
+
+    def enqueue(qrow, ptr, pid):
+        key = jnp.where(y == pid, g, -1.0)
+        _, sel = jax.lax.top_k(key, take)
+        ok = v[sel]
+        slots = (ptr + jnp.cumsum(ok.astype(jnp.int32)) - 1) % Q
+        slots = jnp.where(ok, slots, Q)
+        padded = jnp.concatenate([qrow, jnp.zeros((1, D))], axis=0)
+        new_q = padded.at[slots].set(a_sg[sel])[:Q]
+        new_ptr = (ptr + jnp.sum(ok.astype(jnp.int32))) % Q
+        return new_q, new_ptr
+
+    new_queues, new_ptrs = jax.vmap(enqueue)(state.queues, state.ptrs,
+                                             jnp.arange(P))
+    new_state = ClassContrastState(centers=jax.lax.stop_gradient(new_centers),
+                                   queues=jax.lax.stop_gradient(new_queues),
+                                   ptrs=new_ptrs)
+    return loss, new_state

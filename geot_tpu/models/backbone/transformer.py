@@ -199,12 +199,20 @@ class SegHead(nn.Module):
     nclasses: int
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, return_proto: bool = False):
         x = nn.Dense(128, kernel_init=xavier, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not training, momentum=0.9,
                          epsilon=1e-5, name="bn")(x)
         x = nn.Dropout(0.5, deterministic=not training)(x)
-        return nn.Dense(self.nclasses, kernel_init=xavier, name="conv2")(x)
+        dense = nn.Dense(self.nclasses, kernel_init=xavier, name="conv2")
+        out = dense(x)
+        if return_proto:
+            # recover the kernel without reaching into module internals:
+            # dense(I) - dense(0) == kernel (128, C)
+            eye = jnp.eye(x.shape[-1], dtype=x.dtype)
+            proto = dense(eye) - dense(jnp.zeros((1, x.shape[-1]), x.dtype))
+            return out, proto
+        return out
 
 
 class _PointTransformerSegBase(nn.Module):
@@ -225,6 +233,7 @@ class _PointTransformerSegBase(nn.Module):
     downsample_targets: Sequence[int] = (8192, 4096, 2048)
     extract_layers: Sequence[int] = (4, 8, 12)
     with_T: bool = False
+    head_mode: str = "plain"     # plain | cluster | classifier
 
     @nn.compact
     def __call__(self, pts, x=None, cls_label=None, T=None,
@@ -282,7 +291,31 @@ class _PointTransformerSegBase(nn.Module):
         f_l0 = FeaturePropagation([D * 4, D], name="propagation_0")(
             pts, center_pts[0], f_l0_in, f_l1, training=training)
 
-        logit = SegHead(self.nclasses, name="seg_head")(f_l0, training=training)
+        seg_head = SegHead(self.nclasses, name="seg_head")
+        if self.head_mode == "classifier":
+            logit, proto = seg_head(f_l0, training=training, return_proto=True)
+            # class-prototype features from the (detached, L2-normalised)
+            # final classifier weights x log-softmax
+            # (reference ``PointTransformer_seg_classifier``, ``transformer.py:898-905``)
+            proto = jax.lax.stop_gradient(proto)              # (128, C)
+            proto = proto / (jnp.linalg.norm(proto, axis=0, keepdims=True) + 1e-12)
+            logp = jax.nn.log_softmax(logit, axis=-1)          # (B, N, C)
+            feats_out = jnp.matmul(logp, proto.T)              # (B, N, 128)
+        else:
+            logit = seg_head(f_l0, training=training)
+            feats_out = f_l0
+
+        if self.head_mode == "cluster":
+            # 64-d contrast projection head
+            # (reference ``PointTransformer_seg_cluster``, ``transformer.py:697-706``)
+            h = f_l0
+            for i, c in enumerate((128, 128, 64)):
+                h = nn.Dense(c, kernel_init=xavier, name=f"proj_{i}")(h)
+                h = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                                 epsilon=1e-5, name=f"proj_bn_{i}")(h)
+                if i < 2:
+                    h = nn.relu(h)
+            feats_out = h
 
         correction = None
         sigma = None
@@ -298,7 +331,7 @@ class _PointTransformerSegBase(nn.Module):
                                nn.initializers.constant(0.4), (self.nclasses,))
             if T is not None:
                 correction = T @ t_linear.T
-        return logit, correction, sigma, f_l0
+        return logit, correction, sigma, feats_out
 
 
 def _seg_kwargs(kwargs):
@@ -326,6 +359,133 @@ def PointTransformerSeg2Classifier(**kwargs):
     """Reference ``transformer.py:1134`` — identical forward to the plain seg
     variant (its second classifier was never wired up in the reference)."""
     return _PointTransformerSegBase(with_T=False, **_seg_kwargs(kwargs))
+
+
+@MODELS.register_module(name="PointTransformer_seg_cluster")
+def PointTransformerSegCluster(**kwargs):
+    """Seg + 64-d contrast projection head (reference ``transformer.py:634``)."""
+    return _PointTransformerSegBase(with_T=False, head_mode="cluster",
+                                    **_seg_kwargs(kwargs))
+
+
+@MODELS.register_module(name="PointTransformer_seg_classifier")
+def PointTransformerSegClassifier(**kwargs):
+    """Seg + prototype features from the head weights
+    (reference ``transformer.py:776``)."""
+    return _PointTransformerSegBase(with_T=False, head_mode="classifier",
+                                    **_seg_kwargs(kwargs))
+
+
+@MODELS.register_module(name="PointTransformer_genencoder")
+class PointTransformerGenEncoderSeg(nn.Module):
+    """Group-token encoder used by the TAP generation stack
+    (reference ``transformer.py:413-504``): tokenize, run the tapped block
+    stack, return (last tap tokens (B, G, D), centers (B, G, 3))."""
+
+    trans_dim: int = 384
+    depth: int = 12
+    drop_path_rate: float = 0.1
+    num_heads: int = 4
+    group_size: int = 32
+    num_group: int = 512
+    encoder_dims: int = 256
+    extract_layers: Sequence[int] = (4, 8, 12)
+    nclasses: int = 17
+    downsample_targets: Sequence[int] = (8192, 4096, 2048)
+
+    @nn.compact
+    def __call__(self, p, f0=None, training: bool = False):
+        pts = p["pos"] if hasattr(p, "keys") else p
+        tokenizer = GroupTokenizer(self.num_group, self.group_size)
+        neighborhood, center, _ = tokenizer(pts)
+        tokens = MiniPointNetEncoder(self.encoder_dims,
+                                     name="encoder")(neighborhood, training=training)
+        if self.encoder_dims != self.trans_dim:
+            tokens = nn.Dense(self.trans_dim, kernel_init=xavier,
+                              name="reduce_dim")(tokens)
+        pos = PosEmbed(self.trans_dim, name="pos_embed")(center)
+        taps = TransformerStack(self.trans_dim, self.depth, self.num_heads,
+                                self.drop_path_rate,
+                                extract_layers=tuple(self.extract_layers),
+                                name="blocks")(tokens, pos, training=training)
+        out = nn.LayerNorm(epsilon=1e-5, name="norm")(taps[-1])
+        return out, center
+
+    def forward_cls_feat(self, p, f0=None, training: bool = False):
+        return self(p, f0, training=training)
+
+
+class _ClsTokenEncoder(nn.Module):
+    """Shared body of the cls-token encoders
+    (reference ``PointTransformerGenEncoder``/``PointTransformerEncoder``,
+    ``transformer.py:140-264``): SubsampleGroup tokenizer + cls token/pos +
+    untapped block stack."""
+
+    num_groups: int = 256
+    group_size: int = 32
+    subsample: str = "fps"
+    group: str = "ballquery"
+    radius: float = 0.1
+    encoder_dims: int = 256
+    trans_dim: int = 384
+    drop_path_rate: float = 0.1
+    depth: int = 12
+    num_heads: int = 6
+    in_channels: int = 3
+
+    def encode(self, pts, training: bool = False):
+        from ..layers.group_embed import SubsampleGroup
+
+        grouper = SubsampleGroup(self.num_groups, self.group_size,
+                                 self.subsample, self.group, self.radius)
+        neighborhood, center = grouper(pts)
+        tokens = MiniPointNetEncoder(self.encoder_dims,
+                                     name="encoder")(neighborhood, training=training)
+        tokens = nn.Dense(self.trans_dim, kernel_init=xavier,
+                          name="reduce_dim")(tokens)
+        cls_token = self.param("cls_token", nn.initializers.zeros,
+                               (1, 1, self.trans_dim))
+        cls_pos = self.param("cls_pos", nn.initializers.normal(1.0),
+                             (1, 1, self.trans_dim))
+        B = tokens.shape[0]
+        pos = PosEmbed(self.trans_dim, name="pos_embed")(center)
+        x = jnp.concatenate([jnp.broadcast_to(cls_token, (B, 1, self.trans_dim)),
+                             tokens], axis=1)
+        pos = jnp.concatenate([jnp.broadcast_to(cls_pos, (B, 1, self.trans_dim)),
+                               pos], axis=1)
+        x = TransformerStack(self.trans_dim, self.depth, self.num_heads,
+                             self.drop_path_rate, extract_layers=None,
+                             name="blocks")(x, pos, training=training)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return x, center
+
+
+@MODELS.register_module(name="PointTransformerGenEncoder")
+class PointTransformerGenEncoder(_ClsTokenEncoder):
+    """Reference ``transformer.py:140-199``: returns (tokens sans cls, centers)."""
+
+    @nn.compact
+    def __call__(self, pts, x=None, training: bool = False):
+        if hasattr(pts, "keys"):
+            pts = pts["pos"]
+        out, center = self.encode(pts, training=training)
+        return out[:, 1:, :], center
+
+    forward_cls_feat = __call__
+
+
+@MODELS.register_module(name="PointTransformerEncoder")
+class PointTransformerEncoder(_ClsTokenEncoder):
+    """Reference ``transformer.py:203-264``: returns [cls ; max-pool tokens]."""
+
+    @nn.compact
+    def __call__(self, pts, f0=None, training: bool = False):
+        if hasattr(pts, "keys"):
+            pts = pts["pos"]
+        out, _ = self.encode(pts, training=training)
+        return jnp.concatenate([out[:, 0], jnp.max(out[:, 1:], axis=1)], axis=-1)
+
+    forward_cls_feat = __call__
 
 
 @MODELS.register_module(name="sig_t")
