@@ -42,7 +42,10 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import FLAGSHIP_SEG_ARGS, _build
 
-    model, variables, _ = _build(FLAGSHIP_SEG_ARGS, N_POINTS, BATCH)
+    seg_args = dict(FLAGSHIP_SEG_ARGS)
+    # bf16 compute path (+36% measured); BENCH_DTYPE=float32 for the f32 number
+    seg_args["dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
+    model, variables, _ = _build(seg_args, N_POINTS, BATCH)
 
     # reduce to a scalar on device: forces full compute per call with a
     # 4-byte D2H; ``block_until_ready`` is a NO-OP through the axon tunnel

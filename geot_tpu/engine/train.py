@@ -145,8 +145,22 @@ def main(cfg: EasyConfig) -> dict:
     switch_ep = int(cfg.get("switch_ep", 0))
     best = {"miou": 0.0, "dsc": 0.0, "acc": 0.0, "epoch": 0}
     results = {}
+    start_epoch = int(cfg.get("start_epoch", 1))
 
-    for epoch in range(int(cfg.get("start_epoch", 1)), int(cfg.epochs) + 1):
+    # resume: restore the full state pytree + epoch counter
+    # (reference ``resume_checkpoint``, ``openpoints/utils/ckpt_util.py:111``)
+    if cfg.get("mode") == "resume" and pretrained and os.path.isdir(str(pretrained)):
+        from .checkpoint import load_checkpoint as _load_state
+        state, ckpt_epoch, extra = _load_state(pretrained, state)
+        start_epoch = int(ckpt_epoch) + 1
+        best.update(extra or {})
+        logger.info(f"resumed from {pretrained} at epoch {ckpt_epoch}")
+
+    from .profiler import StepTimer
+    timer = StepTimer(os.path.join(cfg.run_dir, "step_times.jsonl")
+                      if cfg.get("run_dir") else None)
+
+    for epoch in range(start_epoch, int(cfg.epochs) + 1):
         train_loader_l.set_epoch(epoch)
         lr = jnp.asarray(schedule(epoch), dtype=jnp.float32)
         meters = {k: AverageMeter() for k in ("loss", "sup_loss", "unsup_loss")}
@@ -167,6 +181,7 @@ def main(cfg: EasyConfig) -> dict:
                                            use_teacher)
                 for k in meters:
                     meters[k].update(float(metrics[k]))
+                timer.tick(int(state.step), epoch=epoch)
         else:
             # supervised phase trains the plain TrainState view of the state
             sup_state = TrainState(params=state.params,

@@ -300,6 +300,54 @@ class MultiShapeCrossEntropy:
         return losses / B
 
 
+@LOSS.register_module(name="LabelSmoothingCrossEntropy")
+class LabelSmoothingCrossEntropy:
+    """Reference ``openpoints/loss/cross_entropy.py:13``."""
+
+    def __init__(self, smoothing: float = 0.1, **kwargs):
+        self.smoothing = smoothing
+
+    def __call__(self, logits, labels):
+        logits, labels = _flatten_logits(logits, labels)
+        logp = jax.nn.log_softmax(logits, -1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], 1)[:, 0]
+        smooth = -jnp.mean(logp, axis=-1)
+        return jnp.mean((1 - self.smoothing) * nll + self.smoothing * smooth)
+
+
+@LOSS.register_module(name="SoftTargetCrossEntropy")
+class SoftTargetCrossEntropy:
+    """Reference ``openpoints/loss/cross_entropy.py:31`` — targets are
+    probability distributions."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, logits, target):
+        C = logits.shape[-1]
+        logits = logits.reshape(-1, C)
+        target = target.reshape(-1, C)
+        return jnp.mean(jnp.sum(-target * jax.nn.log_softmax(logits, -1), -1))
+
+
+@LOSS.register_module(name="DistillLoss")
+class DistillLoss:
+    """KD: CE on labels + KL(student || teacher) at temperature tau
+    (reference ``openpoints/loss/distill_loss.py:14``)."""
+
+    def __init__(self, alpha: float = 0.5, tau: float = 1.0, **kwargs):
+        self.alpha = alpha
+        self.tau = tau
+
+    def __call__(self, student_logits, teacher_logits, labels):
+        ce = CrossEntropy()(student_logits, labels)
+        C = student_logits.shape[-1]
+        s = jax.nn.log_softmax(student_logits.reshape(-1, C) / self.tau, -1)
+        t = jax.nn.softmax(teacher_logits.reshape(-1, C) / self.tau, -1)
+        kd = jnp.mean(jnp.sum(t * (jnp.log(t + 1e-12) - s), -1)) * self.tau ** 2
+        return (1 - self.alpha) * ce + self.alpha * kd
+
+
 def build_criterion_from_cfg(cfg, **default_args):
     """Reference ``build.py:955``."""
     return LOSS.build(cfg, **default_args)

@@ -13,7 +13,7 @@ Architecture (seg variants, reference ``transformer.py:914-1068``):
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -33,22 +33,24 @@ class MiniPointNetEncoder(nn.Module):
     (reference ``Encoder``, ``transformer.py:106-136``)."""
 
     encoder_channel: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, point_groups: jnp.ndarray, training: bool = False):
         # point_groups: (B, G, K, 3)
-        x = nn.Dense(128, kernel_init=xavier, name="conv1a")(point_groups)
+        x = nn.Dense(128, kernel_init=xavier, dtype=self.dtype, name="conv1a")(point_groups)
         x = nn.BatchNorm(use_running_average=not training, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
-        x = nn.Dense(256, kernel_init=xavier, name="conv1b")(x)      # (B,G,K,256)
+        x = nn.Dense(256, kernel_init=xavier, dtype=self.dtype, name="conv1b")(x)
         g = jnp.max(x, axis=2, keepdims=True)                         # (B,G,1,256)
         x = jnp.concatenate([jnp.broadcast_to(g, x.shape), x], axis=-1)
-        x = nn.Dense(512, kernel_init=xavier, name="conv2a")(x)
+        x = nn.Dense(512, kernel_init=xavier, dtype=self.dtype, name="conv2a")(x)
         x = nn.BatchNorm(use_running_average=not training, momentum=0.9,
-                         epsilon=1e-5, name="bn2")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="bn2")(x)
         x = nn.relu(x)
-        x = nn.Dense(self.encoder_channel, kernel_init=xavier, name="conv2b")(x)
+        x = nn.Dense(self.encoder_channel, kernel_init=xavier, dtype=self.dtype,
+                     name="conv2b")(x)
         return jnp.max(x, axis=2)                                     # (B,G,C)
 
 
@@ -61,6 +63,7 @@ class Attention(nn.Module):
     qkv_bias: bool = False
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -68,7 +71,7 @@ class Attention(nn.Module):
         H = self.num_heads
         hd = C // H
         qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, kernel_init=xavier,
-                       name="qkv")(x)
+                       dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]                               # (B,H,N,hd)
         attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd ** -0.5)
@@ -76,7 +79,7 @@ class Attention(nn.Module):
         attn = nn.Dropout(self.attn_drop, deterministic=not training)(attn)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        out = nn.Dense(C, kernel_init=xavier, name="proj")(out)
+        out = nn.Dense(C, kernel_init=xavier, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not training)(out)
         return out
 
@@ -90,16 +93,17 @@ class Block(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         C = x.shape[-1]
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         h = Attention(self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
-                      name="attn")(h, training=training)
+                      dtype=self.dtype, name="attn")(h, training=training)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, training=training)
         h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        h = MlpBlock(int(C * self.mlp_ratio), C, self.drop,
+        h = MlpBlock(int(C * self.mlp_ratio), C, self.drop, dtype=self.dtype,
                      name="mlp")(h, training=training)
         x = x + DropPath(self.drop_path, name="drop_path2")(h, training=training)
         return x
@@ -117,6 +121,7 @@ class TransformerStack(nn.Module):
     extract_layers: Optional[Sequence[int]] = None
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, pos, training: bool = False):
@@ -125,7 +130,7 @@ class TransformerStack(nn.Module):
         for i in range(self.depth):
             x = Block(self.num_heads, drop=self.drop_rate,
                       attn_drop=self.attn_drop_rate, drop_path=dpr[i],
-                      name=f"block_{i}")(x + pos, training=training)
+                      dtype=self.dtype, name=f"block_{i}")(x + pos, training=training)
             if self.extract_layers is not None and (i + 1) in self.extract_layers:
                 taps.append(x)
         return taps if self.extract_layers is not None else x
@@ -148,14 +153,17 @@ class FeaturePropagation(nn.Module):
     ``PointnetFPModule`` (reference ``pointnet2/pointnet2_modules.py:582-642``)."""
 
     mlp: Sequence[int]               # output channels (input inferred)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
                  training: bool = False):
         interp = three_interpolation(unknown_xyz, known_xyz, known_feats)
         if unknown_feats is not None:
-            interp = jnp.concatenate([interp, unknown_feats], axis=-1)
-        return SharedMLP(self.mlp, name="mlp")(interp, training=training)
+            interp = jnp.concatenate([interp,
+                                      unknown_feats.astype(interp.dtype)], axis=-1)
+        return SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(interp,
+                                                                 training=training)
 
 
 class DGCNNPropagation(nn.Module):
@@ -169,6 +177,7 @@ class DGCNNPropagation(nn.Module):
 
     k: int = 4
     dim: int = 384
+    dtype: Any = None
 
     def _graph_feature(self, coor_q, x_q, coor_k, x_k):
         _, idx = knn(coor_q, coor_k, self.k)                        # (B, Nq, k)
@@ -181,12 +190,12 @@ class DGCNNPropagation(nn.Module):
         # coor/f: coarse level; coor_q/f_q: fine level (channels-last)
         hidden = 4 * self.dim // 3
         h = self._graph_feature(coor_q, f_q, coor, f)
-        h = nn.Dense(hidden, use_bias=False, kernel_init=xavier, name="layer1_conv")(h)
+        h = nn.Dense(hidden, use_bias=False, kernel_init=xavier, dtype=self.dtype, name="layer1_conv")(h)
         h = nn.GroupNorm(num_groups=4, epsilon=1e-5, name="layer1_gn")(h)
         h = nn.leaky_relu(h, negative_slope=0.2)
         h = jnp.max(h, axis=2)
         h2 = self._graph_feature(coor_q, h, coor_q, h)
-        h2 = nn.Dense(self.dim, use_bias=False, kernel_init=xavier, name="layer2_conv")(h2)
+        h2 = nn.Dense(self.dim, use_bias=False, kernel_init=xavier, dtype=self.dtype, name="layer2_conv")(h2)
         h2 = nn.GroupNorm(num_groups=4, epsilon=1e-5, name="layer2_gn")(h2)
         h2 = nn.leaky_relu(h2, negative_slope=0.2)
         return jnp.max(h2, axis=2)
@@ -197,12 +206,13 @@ class SegHead(nn.Module):
     (reference ``transformer.py:970-975``)."""
 
     nclasses: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, training: bool = False, return_proto: bool = False):
-        x = nn.Dense(128, kernel_init=xavier, name="conv1")(x)
+        x = nn.Dense(128, kernel_init=xavier, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not training, momentum=0.9,
-                         epsilon=1e-5, name="bn")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         x = nn.Dropout(0.5, deterministic=not training)(x)
         dense = nn.Dense(self.nclasses, kernel_init=xavier, name="conv2")
         out = dense(x)
@@ -234,6 +244,7 @@ class _PointTransformerSegBase(nn.Module):
     extract_layers: Sequence[int] = (4, 8, 12)
     with_T: bool = False
     head_mode: str = "plain"     # plain | cluster | classifier
+    dtype: Any = None            # computation dtype (e.g. bf16); params stay f32
 
     @nn.compact
     def __call__(self, pts, x=None, cls_label=None, T=None,
@@ -254,7 +265,7 @@ class _PointTransformerSegBase(nn.Module):
         center = fps_pts[:, : self.num_group]
         _, knn_idx = knn(center, pts, self.group_size)
         neighborhood = grouping_operation(pts, knn_idx) - center[:, :, None, :]
-        tokens = MiniPointNetEncoder(self.encoder_dims,
+        tokens = MiniPointNetEncoder(self.encoder_dims, dtype=self.dtype,
                                      name="encoder")(neighborhood, training=training)
         if self.encoder_dims != D:
             tokens = nn.Dense(D, kernel_init=xavier, name="reduce_dim")(tokens)
@@ -262,6 +273,7 @@ class _PointTransformerSegBase(nn.Module):
         taps = TransformerStack(D, self.depth, self.num_heads,
                                 self.drop_path_rate,
                                 extract_layers=tuple(self.extract_layers),
+                                dtype=self.dtype,
                                 name="blocks")(tokens, pos, training=training)
         norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         taps = [norm(t) for t in taps]
@@ -278,20 +290,20 @@ class _PointTransformerSegBase(nn.Module):
         center_pts = [fps_pts[:, :t] for t in self.downsample_targets]
 
         f_l3 = taps[2]                                               # (B,512,D)
-        f_l2 = FeaturePropagation([D * 4, D], name="propagation_2")(
+        f_l2 = FeaturePropagation([D * 4, D], dtype=self.dtype, name="propagation_2")(
             center_pts[1], center, center_pts[1], taps[1], training=training)
-        f_l1 = FeaturePropagation([D * 4, D], name="propagation_1")(
+        f_l1 = FeaturePropagation([D * 4, D], dtype=self.dtype, name="propagation_1")(
             center_pts[0], center, center_pts[0], taps[0], training=training)
 
-        f_l2 = DGCNNPropagation(k=4, dim=D, name="dgcnn_pro_2")(
+        f_l2 = DGCNNPropagation(k=4, dim=D, dtype=self.dtype, name="dgcnn_pro_2")(
             center, f_l3, center_pts[1], f_l2, training=training)
-        f_l1 = DGCNNPropagation(k=4, dim=D, name="dgcnn_pro_1")(
+        f_l1 = DGCNNPropagation(k=4, dim=D, dtype=self.dtype, name="dgcnn_pro_1")(
             center_pts[1], f_l2, center_pts[0], f_l1, training=training)
 
-        f_l0 = FeaturePropagation([D * 4, D], name="propagation_0")(
+        f_l0 = FeaturePropagation([D * 4, D], dtype=self.dtype, name="propagation_0")(
             pts, center_pts[0], f_l0_in, f_l1, training=training)
 
-        seg_head = SegHead(self.nclasses, name="seg_head")
+        seg_head = SegHead(self.nclasses, dtype=self.dtype, name="seg_head")
         if self.head_mode == "classifier":
             logit, proto = seg_head(f_l0, training=training, return_proto=True)
             # class-prototype features from the (detached, L2-normalised)
@@ -304,6 +316,7 @@ class _PointTransformerSegBase(nn.Module):
         else:
             logit = seg_head(f_l0, training=training)
             feats_out = f_l0
+        logit = logit.astype(jnp.float32)
 
         if self.head_mode == "cluster":
             # 64-d contrast projection head
@@ -336,9 +349,13 @@ class _PointTransformerSegBase(nn.Module):
 
 def _seg_kwargs(kwargs):
     """Drop cfg keys the flax dataclass doesn't take (pretrained_path is
-    handled by the engine's checkpoint loader, not the module)."""
+    handled by the engine's checkpoint loader, not the module); map string
+    dtypes from YAML (e.g. ``dtype: bfloat16``) to jnp dtypes."""
     fields = _PointTransformerSegBase.__dataclass_fields__
-    return {k: v for k, v in kwargs.items() if k in fields and k != "with_T"}
+    out = {k: v for k, v in kwargs.items() if k in fields and k != "with_T"}
+    if isinstance(out.get("dtype"), str):
+        out["dtype"] = jnp.dtype(out["dtype"])
+    return out
 
 
 @MODELS.register_module(name="PointTransformer_seg_T")

@@ -28,6 +28,29 @@ class ClsHead(nn.Module):
         return nn.Dense(self.num_classes, name="out")(x)
 
 
+@MODELS.register_module(name="DistillCls")
+class DistillCls(nn.Module):
+    """Student classifier with a frozen-teacher distillation hook
+    (reference ``cls_base.py:47``): returns (student logits, student global
+    feature) so the engine can add a KD term against teacher outputs."""
+
+    encoder_args: Any = None
+    cls_args: Any = None
+    distill_args: Any = None
+
+    def setup(self):
+        self.encoder = build_model_from_cfg(self.encoder_args)
+        self.head = (build_model_from_cfg(self.cls_args)
+                     if self.cls_args is not None else None)
+
+    def __call__(self, p0, f0=None, training: bool = False):
+        if hasattr(p0, "keys"):
+            p0, f0 = p0["pos"], p0.get("x")
+        g = self.encoder.forward_cls_feat(p0, f0, training=training)
+        logits = self.head(g, training=training) if self.head is not None else g
+        return logits, g
+
+
 @MODELS.register_module(name="BaseCls")
 class BaseCls(nn.Module):
     """Encoder + cls head (reference ``cls_base.py:13``)."""

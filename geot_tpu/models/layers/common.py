@@ -67,13 +67,14 @@ class MlpBlock(nn.Module):
     hidden_features: int
     out_features: int
     drop: float = 0.0
+    dtype: any = None
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        x = nn.Dense(self.hidden_features, name="fc1")(x)
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop, deterministic=not training)(x)
-        x = nn.Dense(self.out_features, name="fc2")(x)
+        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.drop, deterministic=not training)(x)
         return x
 
@@ -86,15 +87,17 @@ class SharedMLP(nn.Module):
     channels: Sequence[int]          # output channels per layer
     use_bn: bool = True
     activate_last: bool = True
+    dtype: any = None
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         n = len(self.channels)
         for i, c in enumerate(self.channels):
-            x = nn.Dense(c, use_bias=not self.use_bn, name=f"dense_{i}")(x)
+            x = nn.Dense(c, use_bias=not self.use_bn, dtype=self.dtype,
+                         name=f"dense_{i}")(x)
             last = i == n - 1
             if self.use_bn:
-                x = nn.BatchNorm(use_running_average=not training,
+                x = nn.BatchNorm(use_running_average=not training, dtype=self.dtype,
                                  momentum=0.9, epsilon=1e-5, name=f"bn_{i}")(x)
             if self.activate_last or not last:
                 x = nn.relu(x)

@@ -150,15 +150,27 @@ class BaseSeg(nn.Module):
 @MODELS.register_module(name="SegHead")
 class GenericSegHead(nn.Module):
     """Per-point classification head (reference ``base_seg.py:284-342``):
-    pointwise MLP + dropout + final Dense to num_classes."""
+    pointwise MLP + dropout + final Dense to num_classes, with optional
+    global max/avg feature concat (``global_feat`` comma-list)."""
 
     num_classes: int = 17
     in_channels: Optional[int] = None
     mlps: Optional[Sequence[int]] = None
     dropout_ratio: float = 0.5
+    global_feat: Optional[str] = None
 
     @nn.compact
     def __call__(self, f, training: bool = False):
+        if self.global_feat:
+            gfs = []
+            for feat_type in self.global_feat.split(","):
+                if "max" in feat_type:
+                    gfs.append(jnp.max(f, axis=1, keepdims=True))
+                elif feat_type in ("avg", "mean"):
+                    gfs.append(jnp.mean(f, axis=1, keepdims=True))
+            g = jnp.concatenate(gfs, axis=-1)
+            f = jnp.concatenate([f, jnp.broadcast_to(
+                g, f.shape[:2] + (g.shape[-1],))], axis=-1)
         mlps = list(self.mlps) if self.mlps is not None else [f.shape[-1]]
         for i, c in enumerate(mlps):
             f = nn.Dense(c, name=f"mlp_{i}")(f)
@@ -168,3 +180,73 @@ class GenericSegHead(nn.Module):
         if self.dropout_ratio > 0:
             f = nn.Dropout(self.dropout_ratio, deterministic=not training)(f)
         return nn.Dense(self.num_classes, name="out")(f)
+
+
+@MODELS.register_module(name="VariableSegHead")
+class VariableSegHead(nn.Module):
+    """Linear-block head used with offset-batched (variable-length) scenes
+    (reference ``base_seg.py:345-380``) — identical math to SegHead in the
+    dense layout."""
+
+    num_classes: int = 17
+    in_channels: Optional[int] = None
+    dropout_ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, f, training: bool = False):
+        c = self.in_channels or f.shape[-1]
+        f = nn.Dense(c, name="fc0")(f)
+        f = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                         epsilon=1e-5, name="bn0")(f)
+        f = nn.relu(f)
+        if self.dropout_ratio > 0:
+            f = nn.Dropout(self.dropout_ratio, deterministic=not training)(f)
+        return nn.Dense(self.num_classes, name="out")(f)
+
+
+@MODELS.register_module(name="MultiSegHead")
+class MultiSegHead(nn.Module):
+    """Per-shape-category part heads (reference ``base_seg.py:382-426``):
+    one small head per category, returns stacked logits padded to the max
+    part count (consumed by ``MultiShapeCrossEntropy``)."""
+
+    num_classes: int = 50
+    in_channels: Optional[int] = None
+    shape_classes: int = 16
+    num_parts: Sequence[int] = (4, 2, 2, 4, 4, 3, 3, 2, 4, 2, 6, 2, 3, 3, 3, 3)
+    dropout_ratio: float = 0.0
+
+    @nn.compact
+    def __call__(self, f, training: bool = False):
+        max_parts = max(self.num_parts)
+        outs = []
+        for i in range(self.shape_classes):
+            h = nn.Dense(f.shape[-1], name=f"head{i}_fc")(f)
+            h = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                             epsilon=1e-5, name=f"head{i}_bn")(h)
+            h = nn.relu(h)
+            if self.dropout_ratio > 0:
+                h = nn.Dropout(self.dropout_ratio, deterministic=not training)(h)
+            h = nn.Dense(self.num_parts[i], name=f"head{i}_out")(h)
+            pad = max_parts - self.num_parts[i]
+            if pad:
+                h = jnp.pad(h, ((0, 0), (0, 0), (0, pad)),
+                            constant_values=-1e9)
+            outs.append(h)
+        return jnp.stack(outs)        # (S, B, N, max_parts)
+
+
+@MODELS.register_module(name="VariableSeg")
+class VariableSeg(nn.Module):
+    """Encoder/decoder/head composition for variable-length scenes
+    (reference ``base_seg.py:267-281``) — dense fixed-shape equivalent."""
+
+    encoder_args: Any = None
+    decoder_args: Any = None
+    cls_args: Any = None
+
+    def setup(self):
+        self.inner = BaseSeg(self.encoder_args, self.decoder_args, self.cls_args)
+
+    def __call__(self, data, training: bool = False):
+        return self.inner(data, training=training)

@@ -75,6 +75,24 @@ def shard_state(state: Any, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, state)
 
 
+def reduce_tensor(x, axis_name: str = "dp"):
+    """Cross-replica mean — the jit-internal equivalent of the reference's
+    ``reduce_tensor`` all-reduce (``openpoints/utils/dist_utils.py:30``).
+    Only meaningful inside shard_map/pmap with ``axis_name`` bound; under
+    plain GSPMD-sharded jit, reductions are already global."""
+    import jax
+
+    return jax.lax.pmean(x, axis_name)
+
+
+def gather_tensor(x, axis_name: str = "dp"):
+    """Cross-replica concat — equivalent of ``gather_tensor``
+    (``dist_utils.py:40``)."""
+    import jax
+
+    return jax.lax.all_gather(x, axis_name, tiled=True)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Shard every array's leading (batch) axis over dp."""
 
