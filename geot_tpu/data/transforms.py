@@ -259,6 +259,137 @@ class RandomRotate(_Rotation):
         super().__init__(angle)
 
 
+@DataTransforms.register_module(name="RandomDropout")
+class RandomDropout:
+    """Drop a random fraction of points with some probability
+    (reference ``point_transformer_gpu.py:94-109``).  The reference shrinks
+    the cloud; static shapes require resampling back to N with replacement."""
+
+    def __init__(self, dropout_ratio=0.2, dropout_application_ratio=0.2, **kwargs):
+        self.dropout_ratio = dropout_ratio
+        self.dropout_application_ratio = dropout_application_ratio
+
+    def __call__(self, data, rng):
+        if rng.uniform() < self.dropout_application_ratio:
+            n = len(data["pos"])
+            keep = rng.permutation(n)[: int(n * (1 - self.dropout_ratio))]
+            refill = rng.choice(keep, n - len(keep))
+            idx = np.concatenate([keep, refill])
+            for k, v in data.items():
+                if isinstance(v, np.ndarray) and v.ndim >= 1 and len(v) == n:
+                    data[k] = v[idx]
+        return data
+
+
+@DataTransforms.register_module(name="PointCloudScaleAndJitter")
+class PointCloudScaleAndJitter:
+    """Reference ``point_transformer_gpu.py:330-359``."""
+
+    def __init__(self, scale=(2 / 3, 3 / 2), scale_xyz=(True, True, True),
+                 anisotropic=True, jitter_sigma=0.01, jitter_clip=0.05,
+                 mirror=(0, 0, 0), **kwargs):
+        self.scaler = _Scaling(scale, anisotropic, scale_xyz, mirror)
+        self.jitter = _Jitter(jitter_sigma, jitter_clip)
+
+    def __call__(self, data, rng):
+        return self.jitter(self.scaler(data, rng), rng)
+
+
+@DataTransforms.register_module(name="ChromaticPerDropGPU")
+class ChromaticPerDropGPU:
+    """Per-point colour dropout (reference ``point_transformer_gpu.py:526``)."""
+
+    def __init__(self, color_drop=0.2, **kwargs):
+        self.color_drop = color_drop
+
+    def __call__(self, data, rng):
+        if "x" in data:
+            keep = (rng.uniform(size=(len(data["x"]), 1)) > self.color_drop)
+            data["x"] = data["x"].copy()
+            data["x"][:, :3] *= keep.astype(data["x"].dtype)
+        return data
+
+
+@DataTransforms.register_module(name="ChromaticNormalize")
+class ChromaticNormalize:
+    """Colour standardisation (reference ``point_transformer_gpu.py`` family):
+    [0,255] -> centred unit colours."""
+
+    def __init__(self, color_mean=(0.5136, 0.4509, 0.3890),
+                 color_std=(0.2926, 0.2764, 0.2759), **kwargs):
+        self.mean = np.asarray(color_mean, dtype=np.float32)
+        self.std = np.asarray(color_std, dtype=np.float32)
+
+    def __call__(self, data, rng):
+        if "x" in data:
+            x = data["x"].copy()
+            c = x[:, :3]
+            if c.max() > 1.0:
+                c = c / 255.0
+            x[:, :3] = (c - self.mean) / self.std
+            data["x"] = x
+        return data
+
+
+@DataTransforms.register_module(name="Cutmix")
+class Cutmix:
+    """Point-cloud cutmix (reference ``point_transformer_gpu.py:566``):
+    replace a spatial neighbourhood with the corresponding region of another
+    cloud.  Applied at batch level via ``mix_batch``; the per-sample call is a
+    no-op (matching the reference's usage in the collate path)."""
+
+    def __init__(self, prob=0.5, num_mix=1, **kwargs):
+        self.prob = prob
+        self.num_mix = num_mix
+
+    def __call__(self, data, rng):
+        return data
+
+    def mix_batch(self, batch, rng):
+        pos, y = batch["pos"], batch["y"]
+        B, N = y.shape
+        for _ in range(self.num_mix):
+            if rng.uniform() > self.prob:
+                continue
+            perm = rng.permutation(B)
+            lam = rng.beta(1.0, 1.0)
+            n_mix = int(N * lam)
+            if n_mix == 0:
+                continue
+            # neighbourhood of a random anchor point in each cloud
+            anchor = rng.integers(0, N, B)
+            for b in range(B):
+                d = ((pos[b] - pos[b, anchor[b]]) ** 2).sum(-1)
+                idx = np.argsort(d)[:n_mix]
+                src = perm[b]
+                pos[b, idx] = batch["pos"][src, idx]
+                y[b, idx] = batch["y"][src, idx]
+        batch["pos"], batch["y"] = pos, y
+        return batch
+
+
+@DataTransforms.register_module(name="RandomScale")
+class RandomScale(_Scaling):
+    """CPU-transform heritage (reference ``point_transform_cpu.py``)."""
+
+    def __init__(self, scale=(0.9, 1.1), anisotropic=False, **kwargs):
+        super().__init__(scale, anisotropic, (True, True, True), (0, 0, 0))
+
+
+@DataTransforms.register_module(name="RandomShift")
+class RandomShift:
+    """Reference ``point_transform_cpu.py`` RandomShift."""
+
+    def __init__(self, shift=((-0.2, 0.2), (-0.2, 0.2), (0, 0)), **kwargs):
+        self.shift = shift
+
+    def __call__(self, data, rng):
+        t = np.asarray([rng.uniform(lo, hi) for lo, hi in self.shift],
+                       dtype=np.float32)
+        data["pos"] = data["pos"] + t
+        return data
+
+
 @DataTransforms.register_module(name="RandomHorizontalFlip")
 class RandomHorizontalFlip:
     """Reference ``point_transformer_gpu.py:113``."""

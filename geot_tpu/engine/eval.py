@@ -63,11 +63,16 @@ def validate(eval_step, variables, val_loader, cfg, logger=None) -> Dict[str, fl
     into mandible (cls 0) / maxillary (cls 1) / whole means."""
     mandible = {"miou": [], "dsc": [], "acc": []}
     maxillary = {"miou": [], "dsc": [], "acc": []}
+    sampled_accs = []
     for batch in val_loader:
         model_batch = {"pos": jnp.asarray(batch["pos"]),
                        "x": jnp.asarray(batch["x"]),
                        "cls": jnp.asarray(batch["cls"])}
         logits = eval_step(variables, model_batch)
+        # direct accuracy on the sampled points — separates model quality
+        # from the full-res upsampling path
+        sampled_accs.append(float(np.mean(
+            np.asarray(jnp.argmax(logits, -1)) == np.asarray(batch["y"]))))
         preds = get_pred_whole(logits, batch["pos"], batch["points"],
                                batch["center"], batch["scale"])
         for i, pred in enumerate(preds):
@@ -89,6 +94,7 @@ def validate(eval_step, variables, val_loader, cfg, logger=None) -> Dict[str, fl
     for k in ("miou", "dsc", "acc"):
         total = sum(mandible[k]) + sum(maxillary[k])
         out[f"whole_{k}"] = total / n if n else float("nan")
+    out["sampled_acc"] = _mean(sampled_accs)
     if logger is not None:
         logger.info("val: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
     return out

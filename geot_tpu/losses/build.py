@@ -230,6 +230,69 @@ class Poly1FocalLossUT(_Poly1FocalMasked):
         return jnp.sum(poly1 * mask) / (jnp.sum(mask) * poly1.shape[-1] + 0.001)
 
 
+@LOSS.register_module(name="Poly1FocalLoss_U_Cur")
+class Poly1FocalLossUCur(_Poly1FocalMasked):
+    """Masked by an external curriculum/curvature score instead of the
+    teacher confidence (reference ``build.py:357-442``)."""
+
+    def __call__(self, logits, labels, logits_pred, thresh: float = 0.95,
+                 cur=None):
+        poly1 = _poly1_focal_elem(logits, labels, self.epsilon, self.alpha,
+                                  self.gamma)
+        mask = ((cur if cur is not None else logits_pred) >= thresh)
+        mask = mask[..., None].astype(poly1.dtype)
+        return jnp.sum(poly1 * mask) / (jnp.sum(mask) * poly1.shape[-1] + 0.001)
+
+
+@LOSS.register_module(name="Poly1FocalLoss_U_top2")
+class Poly1FocalLossUTop2(_Poly1FocalMasked):
+    """Extends the threshold mask with ambiguous-but-consistent points: where
+    top1+top2 prob >= 0.9 and the point's top-2 labels are swapped with its
+    spatial nearest neighbour's (reference ``build.py:445-560``).
+    Returns (loss, thresh_mask, topk_mask)."""
+
+    def __call__(self, logits, labels, logits_pred, pred_u, pos,
+                 thresh: float = 0.95, mask=None):
+        from ..ops import knn as _knn
+
+        poly1 = _poly1_focal_elem(logits, labels, self.epsilon, self.alpha,
+                                  self.gamma)
+        thresh_mask = mask if mask is not None else (logits_pred >= thresh)
+        top2_vals, top2_lab = jax.lax.top_k(jax.lax.stop_gradient(pred_u), 2)
+        top2_mask = ((top2_vals[..., 0] + top2_vals[..., 1]) >= 0.9) & (~thresh_mask)
+        label1, label2 = top2_lab[..., 0], top2_lab[..., 1]
+        _, nn_idx = _knn(pos, pos, 2)
+        nn1 = nn_idx[..., 1]
+        l1n = jnp.take_along_axis(label1, nn1, axis=1)
+        l2n = jnp.take_along_axis(label2, nn1, axis=1)
+        topk_mask = (label1 == l2n) & (label2 == l1n) & top2_mask
+        full = (thresh_mask | topk_mask)[..., None].astype(poly1.dtype)
+        loss = jnp.sum(poly1 * full) / (jnp.sum(full) * poly1.shape[-1] + 0.001)
+        return loss, thresh_mask | topk_mask, topk_mask
+
+
+@LOSS.register_module(name="Poly1FocalLoss_U_T_v1")
+class Poly1FocalLossUTV1(_Poly1FocalMasked):
+    """_U_T variant computing the after-T confidence internally from the
+    (T + delta_T)-corrected weak probabilities (reference ``build.py:691-795``).
+    Returns (loss, delta_T)."""
+
+    def __call__(self, logits, labels, logits_pred, T, delta_T, pred_u,
+                 thresh: float = 0.95, mask=None):
+        poly1 = _poly1_focal_elem(logits, labels, self.epsilon, self.alpha,
+                                  self.gamma)
+        ema_t_corr = T + delta_T
+        corrected = jnp.einsum("bnc,cd->bnd", pred_u, ema_t_corr)
+        after = jnp.take_along_axis(corrected, labels[..., None], axis=-1)[..., 0]
+        beta = logits_pred / after
+        poly1 = poly1 * beta[..., None]
+        if mask is None:
+            mask = (logits_pred >= thresh)
+        maskf = mask[..., None].astype(poly1.dtype)
+        loss = jnp.sum(poly1 * maskf) / (jnp.sum(maskf) * poly1.shape[-1] + 0.001)
+        return loss, delta_T
+
+
 @LOSS.register_module(name="Weight_CELoss")
 class WeightCELoss:
     """Class-weighted NLL (reference ``build.py:913-926``): weights are the

@@ -69,3 +69,13 @@ class DGCNN(nn.Module):
         fused = self(pts, features, training=training)
         return jnp.concatenate([jnp.max(fused, axis=1), jnp.mean(fused, axis=1)],
                                axis=-1)
+
+
+@MODELS.register_module(name="DGCNNGenEncoder")
+class DGCNNGenEncoder(DGCNN):
+    """DGCNN variant for the generation stack (reference ``dgcnn.py:108``):
+    forward_cls_feat returns (per-point features, coords)."""
+
+    def forward_cls_feat(self, pts, features=None, training: bool = False):
+        fused = self(pts, features, training=training)
+        return fused, pts

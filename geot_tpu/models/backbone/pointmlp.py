@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...ops import fps, gather_points, grouping_operation, knn
@@ -161,3 +162,86 @@ class PointMLPEncoder(nn.Module):
     def forward_cls_feat(self, xyz, features=None, training: bool = False):
         _, x = self(xyz, features, training=training)
         return jnp.max(x, axis=1)
+
+
+@MODELS.register_module(name="PointMLPPartSegmentor")
+class PointMLPPartSegmentor(nn.Module):
+    """PointMLP part-segmentation network (reference
+    ``openpoints/models/backbone/pointmlp_seg.py:349``): residual-MLP encoder
+    pyramid + three_nn FP decoder with global max-pool and category-token
+    conditioning, per-point head."""
+
+    num_classes: int = 17
+    shape_classes: int = 2
+    embed_dim: int = 64
+    res_expansion: float = 1.0
+    bias: bool = True
+    use_xyz: bool = True
+    normalize: str = "anchor"
+    dim_expansion: Sequence[int] = (2, 2, 2, 2)
+    pre_blocks: Sequence[int] = (2, 2, 2, 2)
+    pos_blocks: Sequence[int] = (2, 2, 2, 2)
+    k_neighbors: Sequence[int] = (32, 32, 32, 32)
+    reducers: Sequence[int] = (4, 4, 4, 4)
+    de_dims: Sequence[int] = (512, 256, 128, 128)
+    de_blocks: Sequence[int] = (2, 2, 2, 2)
+    gmp_dim: int = 64
+    cls_dim: int = 64
+
+    @nn.compact
+    def __call__(self, pts, features=None, cls_label=None,
+                 training: bool = False):
+        from ...ops import three_interpolation
+
+        if features is None:
+            features = pts
+        x = ConvBNReLU(self.embed_dim, self.bias, name="embedding")(features,
+                                                                    training=training)
+        xyz = pts
+        l_xyz, l_feats = [xyz], [x]
+        last = self.embed_dim
+        for i in range(len(self.pre_blocks)):
+            out = last * self.dim_expansion[i]
+            xyz, grouped = LocalGrouper(last, self.reducers[i],
+                                        self.k_neighbors[i], self.use_xyz,
+                                        self.normalize,
+                                        name=f"grouper_{i}")(xyz, l_feats[-1])
+            h = PreExtraction(out, self.pre_blocks[i], self.res_expansion,
+                              self.bias, name=f"pre_{i}")(grouped, training=training)
+            h = PosExtraction(out, self.pos_blocks[i], self.res_expansion,
+                              self.bias, name=f"pos_{i}")(h, training=training)
+            l_xyz.append(xyz)
+            l_feats.append(h)
+            last = out
+
+        # FP decoder back to full resolution
+        f = l_feats[-1]
+        for i in range(len(self.de_dims)):
+            up = three_interpolation(l_xyz[-(i + 2)], l_xyz[-(i + 1)], f)
+            f = jnp.concatenate([up, l_feats[-(i + 2)]], axis=-1)
+            for j in range(self.de_blocks[i]):
+                f = ConvBNReLU(self.de_dims[i], self.bias,
+                               name=f"de_{i}_{j}")(f, training=training)
+
+        # global max-pool token + category token conditioning
+        gmp = ConvBNReLU(self.gmp_dim, self.bias, name="gmp")(f, training=training)
+        gmp = jnp.max(gmp, axis=1, keepdims=True)
+        if cls_label is None:
+            cls_label = jnp.zeros((pts.shape[0],), jnp.int32)
+        onehot = jax.nn.one_hot(cls_label.reshape(-1), self.shape_classes)
+        cls_tok = ConvBNReLU(self.cls_dim, self.bias,
+                             name="cls_map")(onehot[:, None, :], training=training)
+        cond = jnp.concatenate([jnp.broadcast_to(gmp, f.shape[:2] + (self.gmp_dim,)),
+                                jnp.broadcast_to(cls_tok, f.shape[:2] + (self.cls_dim,)),
+                                f], axis=-1)
+        h = ConvBNReLU(128, self.bias, name="head0")(cond, training=training)
+        h = nn.Dropout(0.5, deterministic=not training)(h)
+        return nn.Dense(self.num_classes, name="head1")(h)
+
+
+@MODELS.register_module(name="PointMLP")
+def PointMLP(**kwargs):
+    """Classification PointMLP (reference ``pointmlp.py:420``): encoder +
+    max-pool handled by BaseCls; alias to the encoder for registry parity."""
+    fields = PointMLPEncoder.__dataclass_fields__
+    return PointMLPEncoder(**{k: v for k, v in kwargs.items() if k in fields})

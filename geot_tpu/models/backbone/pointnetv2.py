@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, List, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...ops import fps, gather_points, three_interpolation
@@ -207,3 +208,48 @@ class PointNet2Decoder(nn.Module):
                 l_xyz[i - 1], l_xyz[i], l_features[i - 1], l_features[i],
                 training=training)
         return l_features[0]
+
+
+@MODELS.register_module(name="PointNet2PartDecoder")
+class PointNet2PartDecoder(nn.Module):
+    """Part-seg FP decoder with jaw/category one-hot injection at the final
+    level (reference ``pointnetv2.py:384-512``)."""
+
+    encoder_channel_list: Sequence[int]
+    shape_classes: int = 16
+    fp_mlps: Any = None
+    decoder_layers: int = 1
+
+    @nn.compact
+    def __call__(self, l_xyz, l_features, cls_label=None, training: bool = False):
+        skip = list(self.encoder_channel_list)
+        fp_mlps = self.fp_mlps
+        if fp_mlps is None:
+            fp_mlps = [[skip[1]] * (self.decoder_layers + 1)]
+            fp_mlps += [[c] * (self.decoder_layers + 1) for c in skip[1:-1]]
+        l_features = list(l_features)
+        n = len(fp_mlps)
+        for i in range(-1, -(n + 1), -1):
+            unknown_feats = l_features[i - 1]
+            if i - 1 == -len(l_features) and cls_label is not None:
+                B, N0 = l_xyz[0].shape[:2]
+                onehot = jax.nn.one_hot(cls_label.reshape(-1),
+                                        self.shape_classes)
+                onehot = jnp.broadcast_to(onehot[:, None, :],
+                                          (B, N0, self.shape_classes))
+                unknown_feats = jnp.concatenate([unknown_feats, onehot], -1)
+            l_features[i - 1] = PointNetFPModule(tuple(fp_mlps[i]),
+                                                 name=f"fp_{n + i}")(
+                l_xyz[i - 1], l_xyz[i], unknown_feats, l_features[i],
+                training=training)
+        return l_features[0]
+
+
+@MODELS.register_module(name="PointNet2GenEncoder")
+class PointNet2GenEncoder(PointNet2Encoder):
+    """PointNet2Encoder variant for the generation stack: forward_cls_feat
+    returns (coarsest features, coarsest coords) (reference ``pointnetv2.py:515``)."""
+
+    def forward_cls_feat(self, xyz, features=None, training: bool = False):
+        l_xyz, l_feats = self.forward_seg_feat(xyz, features, training=training)
+        return l_feats[-1], l_xyz[-1]
