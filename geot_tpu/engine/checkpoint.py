@@ -26,11 +26,15 @@ def save_checkpoint(cfg, state, epoch: int, additional_dict: Optional[Dict] = No
     """Reference ``save_checkpoint`` (``ckpt_util.py:69-108``) semantics."""
     import orbax.checkpoint as ocp
 
+    from flax.serialization import to_state_dict
+
     ckpt_dir = cfg["ckpt_dir"]
     run_name = cfg.get("run_name", "run")
     os.makedirs(ckpt_dir, exist_ok=True)
     latest = _ckpt_path(ckpt_dir, run_name, "latest")
-    payload = {"state": state, "epoch": epoch,
+    # canonical nested-dict form so restore is independent of dataclass
+    # flatten order
+    payload = {"state": to_state_dict(state), "epoch": epoch,
                "extra": additional_dict or {}}
     ckptr = ocp.StandardCheckpointer()
     if os.path.exists(latest):
@@ -50,13 +54,18 @@ def save_checkpoint(cfg, state, epoch: int, additional_dict: Optional[Dict] = No
 
 
 def load_checkpoint(path: str, template_state):
-    """Restore a state pytree saved by ``save_checkpoint``."""
+    """Restore a state pytree saved by ``save_checkpoint``.
+
+    Restores structure-free first (the ``extra`` metrics dict varies between
+    runs), then grafts the state leaves onto the template's pytree structure.
+    """
     import orbax.checkpoint as ocp
+    from flax.serialization import from_state_dict
 
     ckptr = ocp.StandardCheckpointer()
-    payload = ckptr.restore(os.path.abspath(path),
-                            {"state": template_state, "epoch": 0, "extra": {}})
-    return payload["state"], payload["epoch"], payload["extra"]
+    payload = ckptr.restore(os.path.abspath(path))
+    state = from_state_dict(template_state, payload["state"])
+    return state, payload["epoch"], payload.get("extra", {})
 
 
 # --------------------------------------------------------------------------

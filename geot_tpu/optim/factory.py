@@ -125,7 +125,8 @@ def build_scheduler_from_cfg(cfg, optimizer=None):
     epochs = int(cfg.get("epochs", 300))
     min_lr = cfg.get("min_lr") or 0.0
     warmup_epochs = int(cfg.get("warmup_epochs", 0) or 0)
-    warmup_lr = float(cfg.get("warmup_lr", 1e-6) or 1e-6)
+    warmup_lr = cfg.get("warmup_lr", 1e-6)
+    warmup_lr = 1e-6 if warmup_lr is None else float(warmup_lr)
 
     if sched == "multistep":
         decay_epochs = list(cfg.get("decay_epochs", [220]))
