@@ -58,17 +58,32 @@ def get_pred_whole(logits, pos, full_points_list, centers, scales,
     return preds
 
 
-def validate(eval_step, variables, val_loader, cfg, logger=None) -> Dict[str, float]:
+def validate(eval_step, variables, val_loader, cfg, logger=None,
+             num_votes: int = 0, data_transform=None) -> Dict[str, float]:
     """Reference ``validate`` (``train.py:716-779``): whole-scan metrics split
-    into mandible (cls 0) / maxillary (cls 1) / whole means."""
+    into mandible (cls 0) / maxillary (cls 1) / whole means.
+
+    ``num_votes > 0``: average softmax over additional augmented passes using
+    the ``vote`` transform pipeline (reference ``train.py:365-375``)."""
     mandible = {"miou": [], "dsc": [], "acc": []}
     maxillary = {"miou": [], "dsc": [], "acc": []}
     sampled_accs = []
+    vote_rng = np.random.default_rng(int(cfg.get("seed", 0)) if cfg else 0)
     for batch in val_loader:
         model_batch = {"pos": jnp.asarray(batch["pos"]),
                        "x": jnp.asarray(batch["x"]),
                        "cls": jnp.asarray(batch["cls"])}
         logits = eval_step(variables, model_batch)
+        if num_votes and data_transform is not None:
+            probs = jax.nn.softmax(logits, axis=-1)
+            for _ in range(num_votes):
+                voted = {"pos": np.asarray(batch["pos"]).copy()}
+                voted = data_transform(voted, vote_rng)
+                vb = dict(model_batch)
+                vb["pos"] = jnp.asarray(voted["pos"])
+                vb["x"] = vb["pos"]
+                probs = probs + jax.nn.softmax(eval_step(variables, vb), axis=-1)
+            logits = jnp.log(probs / (num_votes + 1) + 1e-12)
         # direct accuracy on the sampled points — separates model quality
         # from the full-res upsampling path
         sampled_accs.append(float(np.mean(

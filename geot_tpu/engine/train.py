@@ -230,6 +230,16 @@ def main(cfg: EasyConfig) -> dict:
             if writer:
                 for k, v in res.items():
                     writer.add_scalar(f"test_{k}", v, epoch)
+            if int(cfg.get("num_votes", 0) or 0) > 0:
+                from ..data.transforms import build_transforms_from_cfg
+                vote_t = build_transforms_from_cfg("vote", cfg.get("datatransforms"))
+                res_v = validate(eval_step, state.variables, test_loader, cfg,
+                                 logger, num_votes=int(cfg["num_votes"]),
+                                 data_transform=vote_t)
+                results["test_voting"] = res_v
+                if writer:
+                    for k, v in res_v.items():
+                        writer.add_scalar(f"test_{k}_voting", v, epoch)
 
     results["best"] = best
     if writer:
