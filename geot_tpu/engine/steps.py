@@ -256,6 +256,22 @@ def make_eval_step(model) -> Callable:
     return step
 
 
+def make_confusion_step(model, num_classes: int) -> Callable:
+    """One batch of ``cal_confusion_matrix`` (reference ``train.py:841-866``):
+    hard-label confusion counts, row-normalised by the host afterwards."""
+
+    @jax.jit
+    def step(variables, batch):
+        logits, *_ = model.apply(variables, batch, training=False)
+        pred = jnp.argmax(logits, axis=-1).reshape(-1)
+        target = batch["y"].reshape(-1)
+        onehot_t = jax.nn.one_hot(target, num_classes)
+        onehot_p = jax.nn.one_hot(pred, num_classes)
+        return onehot_t.T @ onehot_p                  # (C, C) counts
+
+    return step
+
+
 def make_cm_step(model) -> Callable:
     """One batch of the ``cal_mean_feature`` bootstrap pass
     (reference ``train.py:868-897``): running class-conditional mean of

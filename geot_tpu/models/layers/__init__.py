@@ -3,7 +3,8 @@ from .group_embed import SubsampleGroup, GroupTokenizer
 from .knn import knn_point, KNN, DilatedKNN
 from .subsample import furthest_point_sample, random_sample
 from .group import create_grouper, QueryAndGroup, KNNGroup, GroupAll, get_aggregation_features
-from .local_aggregation import LocalAggregation, CHANNEL_MAP
+from .local_aggregation import ASSA, LocalAggregation, CHANNEL_MAP
+from .kmeans import kmeans
 
 __all__ = [
     "MlpBlock", "DropPath", "PointBatchNorm", "SharedMLP", "drop_path_rates",
@@ -12,5 +13,5 @@ __all__ = [
     "furthest_point_sample", "random_sample",
     "create_grouper", "QueryAndGroup", "KNNGroup", "GroupAll",
     "get_aggregation_features",
-    "LocalAggregation", "CHANNEL_MAP",
+    "ASSA", "LocalAggregation", "CHANNEL_MAP", "kmeans",
 ]

@@ -175,3 +175,32 @@ class TestPointMLP:
         variables = model.init(jax.random.PRNGKey(0), pos)
         xyz, x = model.apply(variables, pos)
         assert xyz.shape == (2, 32, 3) and x.shape == (2, 32, 32)
+
+
+class TestLayersExtra:
+    def test_assa_aggregation(self):
+        import flax.linen as nn
+        from geot_tpu.models.layers.local_aggregation import LocalAggregation
+
+        rng_np = np.random.default_rng(0)
+        pos = jnp.asarray(rng_np.standard_normal((2, 64, 3)).astype(np.float32))
+        feats = jnp.asarray(rng_np.standard_normal((2, 64, 12)).astype(np.float32))
+        la = LocalAggregation((24, 24), {"NAME": "ballquery", "radius": 0.5,
+                                         "nsample": 8},
+                              feature_type="assa", reduction="mean")
+        v = la.init(jax.random.PRNGKey(0), pos[:, :16], pos, feats)
+        out = la.apply(v, pos[:, :16], pos, feats)
+        assert out.shape == (2, 16, 24)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_point_patch_embed(self):
+        from geot_tpu.models import build_model_from_cfg
+
+        rng_np = np.random.default_rng(0)
+        pos = jnp.asarray(rng_np.standard_normal((2, 128, 3)).astype(np.float32))
+        m = build_model_from_cfg({"NAME": "PointPatchEmbed",
+                                  "sample_ratio": 0.25, "group_size": 8,
+                                  "channels": [16, 32]})
+        v = m.init(jax.random.PRNGKey(0), pos)
+        tokens, center = m.apply(v, pos)
+        assert tokens.shape == (2, 32, 32) and center.shape == (2, 32, 3)
