@@ -57,6 +57,7 @@ def contrast_loss_t(state: ContrastState, rng, feat_s, score, feat_t,
     ``_queue_operations`` (reference ``:1278-1408``).
     """
     B, N, D = feat_s.shape
+    sample_nums = min(sample_nums, N)
     feat_s = feat_s / (jnp.linalg.norm(feat_s, axis=-1, keepdims=True) + 1e-12)
     feat_t = feat_t / (jnp.linalg.norm(feat_t, axis=-1, keepdims=True) + 1e-12)
 

@@ -1,0 +1,114 @@
+"""Exercise every optional branch of the semi-supervised step: manifold
+feature loss, identity loss, contrastive loss, and all criterion_u dispatches
+(tiny sizes, CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from geot_tpu.core.config import EasyConfig
+from geot_tpu.engine.state import SemiTrainState
+from geot_tpu.engine.steps import make_semi_step
+from geot_tpu.models import build_model_from_cfg
+from geot_tpu.optim import build_optimizer_from_cfg
+
+SEG = dict(NAME="PointTransformer_seg_T", trans_dim=48, depth=3, num_heads=4,
+           group_size=8, num_group=16, encoder_dims=32, nclasses=17,
+           drop_path_rate=0.1, downsample_targets=[64, 32, 16],
+           extract_layers=[1, 2, 3])
+N = 128
+
+
+def build_all(cfg_extra):
+    cfg = EasyConfig({
+        "criterion_args": {"NAME": "Poly1FocalLoss"},
+        "criterion_u_args": {"NAME": "Poly1FocalLoss_U_corr"},
+        "num_classes": 17, "grad_norm_clip": 1.0, "threshold": 0.0,
+        "unsupervised_loss_weight": 1.0, "lambma": 0.9, "geo_lambma": 0.999,
+        "ema_t_decay": 0.999, "use_3d_loss": True, "threed_k": 4,
+        "threed_sigma": 1.0, "threed_loss_weight": 0.1,
+        "batch_size_l": 2, "batch_size_u": 2, "seed": 0})
+    cfg.update(cfg_extra)
+    model = build_model_from_cfg({"NAME": "WholePartSeg", "segmentor_args": SEG})
+    t_pred = build_model_from_cfg({"NAME": "Ins_T_mean",
+                                   "T_args": {"NAME": "sig_t_mean", "nclasses": 17}})
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.standard_normal((2, N, 3)).astype(np.float32))
+    bl = {"pos": pos, "x": pos, "cls": jnp.zeros((2, 1), jnp.int32),
+          "y": jnp.zeros((2, N), jnp.int32),
+          "class_weights": jnp.full((2, 17), 1 / 17)}
+    pw = jnp.asarray(rng.standard_normal((2, N, 3)).astype(np.float32))
+    ps = pw * 1.1
+    bu = {"pos_w": pw, "x_w": pw, "cls_w": jnp.zeros((2, 1), jnp.int32),
+          "pos_s": ps, "x_s": ps, "cls_s": jnp.zeros((2, 1), jnp.int32),
+          "raw_pos": pw, "y": jnp.zeros((2, N), jnp.int32)}
+    variables = jax.jit(model.init)(
+        {"params": key, "dropout": jax.random.fold_in(key, 1)}, bl)
+    t_vars = t_pred.init(jax.random.fold_in(key, 2),
+                         jnp.full((1, 8, 17), 1 / 17.0), jnp.eye(17))
+    tx = build_optimizer_from_cfg(None, lr=1e-3, NAME="adamw")
+    t_tx = build_optimizer_from_cfg(None, lr=1e-3, NAME="adamw")
+    state = SemiTrainState.create(variables, tx, t_vars, t_tx, 17,
+                                  jax.random.fold_in(key, 3), contrast_dim=48)
+    step = make_semi_step(model, model, t_pred, tx, t_tx, cfg)
+    return step, state, bl, bu
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("extra,expect_keys", [
+    ({"use_feat_loss": True, "feat_k": 4, "feat_sigma": 1.0,
+      "feat_loss_weight": 10.0}, ["feat_loss"]),
+    ({"use_identity_loss": True, "identity_loss_weight": 1.0},
+     ["identity_loss"]),
+    ({"use_contrastive": True, "contrastive_loss_weight": 1.0},
+     ["contrast_loss"]),
+    ({"criterion_u_args": {"NAME": "Poly1FocalLoss_U"}}, []),
+    ({"criterion_u_args": {"NAME": "Weight_CELoss_U"}}, []),
+    ({"criterion_u_args": {"NAME": "MSE_Loss_U"}}, []),
+])
+def test_semi_step_branches(extra, expect_keys):
+    step, state, bl, bu = build_all(extra)
+    # the step donates its input state — snapshot before calling
+    ptr_before = int(state.contrast.ptr)
+    queue_before = np.asarray(state.contrast.queue).copy()
+    use_teacher = True  # contrastive path needs the teacher features
+    new_state, metrics = step(state, bl, bu, jnp.asarray(1e-3), use_teacher)
+    assert np.isfinite(float(metrics["loss"]))
+    for k in expect_keys:
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    if "use_contrastive" in extra:
+        # with an untrained teacher no point clears the 0.9 confidence
+        # threshold, so the loss is exactly 0 and the bank must stay frozen
+        assert float(metrics["contrast_loss"]) == 0.0
+        assert int(new_state.contrast.ptr) == ptr_before
+        np.testing.assert_allclose(np.asarray(new_state.contrast.queue),
+                                   queue_before)
+
+
+@pytest.mark.slow
+def test_voting_validate(tmp_path):
+    from geot_tpu.data import build_dataloader_from_cfg
+    from geot_tpu.data.transforms import build_transforms_from_cfg
+    from geot_tpu.engine.eval import validate
+    from geot_tpu.engine.steps import make_eval_step
+
+    model = build_model_from_cfg({"NAME": "WholePartSeg", "segmentor_args": SEG})
+    key = jax.random.PRNGKey(0)
+    pos = jnp.zeros((2, N, 3))
+    variables = jax.jit(model.init)(
+        {"params": key, "dropout": jax.random.fold_in(key, 1)},
+        {"pos": pos, "x": pos, "cls": jnp.zeros((2, 1), jnp.int32)})
+    ds_cfg = {"common": {"NAME": "TeethSegSemiLDataset",
+                         "data_root": "/nonexistent", "num_points": N},
+              "val": {"split": "val"}}
+    dt_cfg = {"val": ["PointsToTensor", "PointCloudCenterAndNormalize"],
+              "vote": ["PointCloudScaling"],
+              "kwargs": {"scale": [0.9, 1.1], "gravity_dim": 1}}
+    loader = build_dataloader_from_cfg(2, ds_cfg, {"num_workers": 1}, dt_cfg,
+                                       split="val")
+    vote_t = build_transforms_from_cfg("vote", dt_cfg)
+    eval_step = make_eval_step(model)
+    res = validate(eval_step, variables, loader, EasyConfig({"seed": 0}),
+                   num_votes=2, data_transform=vote_t)
+    assert np.isfinite(res["whole_acc"])
