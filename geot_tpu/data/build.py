@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import concurrent.futures as _fut
 import itertools
-from typing import Any, Dict, Iterator, List, Optional
+from typing import Any, Dict, Iterator, List
 
 import numpy as np
 
@@ -60,8 +60,12 @@ class DataLoader:
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
-        """Reference ``DistributedSampler.set_epoch`` (``train.py:278-279``)."""
+        """Reference ``DistributedSampler.set_epoch`` (``train.py:278-279``);
+        also forwarded to the dataset for per-epoch sample RNG
+        (reference ``train.py:281-282``)."""
         self.epoch = epoch
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch = epoch
 
     # expose the reference's ``loader.sampler.set_epoch`` call-site shape
     @property

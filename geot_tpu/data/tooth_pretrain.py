@@ -10,8 +10,6 @@ matrices); image branches load ``.npy`` renders when present.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from .build import DATASETS
@@ -41,7 +39,7 @@ class Tooth6000(_TeethBase):
 
     def __getitem__(self, idx):
         sample = self.file_list[idx]
-        rng = np.random.default_rng()
+        rng = self._rng(idx)
         points, labels = self._load(sample)
         points_norm, _, _ = pc_norm(points)
         spts, slab = self._sample(points_norm, labels, rng)
@@ -75,7 +73,7 @@ class TeethSegFinetuneDataset(_TeethBase):
 
     def __getitem__(self, idx):
         sample = self.file_list[idx]
-        rng = np.random.default_rng()
+        rng = self._rng(idx)
         points, labels = self._load(sample)
         points_norm, center, scale = pc_norm(points)
         spts, slab = self._sample(points_norm, labels, rng)

@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional
-
 import numpy as np
 
 from .build import DATASETS
@@ -65,11 +63,14 @@ def _synthetic_scan(seed: int, n_points: int = 40000):
 
 class _TeethBase:
     def __init__(self, data_root: str, num_points: int, split: str,
-                 list_name: str, synthetic_len: int = 24, **kwargs):
+                 list_name: str, synthetic_len: int = 24, seed: int = 0,
+                 **kwargs):
         self.data_root = data_root
         self.num_points = num_points
         self.split = split
         self.num_classes = 17
+        self.seed = seed
+        self.epoch = 0  # set by the loader per epoch (reference train.py:281)
         self.synthetic = not (data_root and os.path.isdir(data_root))
         if self.synthetic:
             self.file_list = [{"location": i % 2, "mesh_id": f"synthetic{i:04d}",
@@ -95,6 +96,11 @@ class _TeethBase:
 
     def __len__(self):
         return len(self.file_list)
+
+    def _rng(self, idx: int) -> np.random.Generator:
+        """Deterministic per-(seed, epoch, index) generator — replaces the
+        reference's torch DataLoader worker seeding."""
+        return np.random.default_rng((self.seed, self.epoch, idx))
 
     def _load(self, sample):
         if self.synthetic:
@@ -133,7 +139,7 @@ class TeethSegSemiLDataset(_TeethBase):
 
     def __getitem__(self, idx):
         sample = self.file_list[idx]
-        rng = np.random.default_rng()
+        rng = self._rng(idx)
         points, labels = self._load(sample)
         points_norm, center, scale = pc_norm(points)
         spts, slab = self._sample(points_norm, labels, rng)
@@ -174,7 +180,7 @@ class TeethSegSemiUDataset(_TeethBase):
 
     def __getitem__(self, idx):
         sample = self.file_list[idx]
-        rng = np.random.default_rng()
+        rng = self._rng(idx)
         points, labels = self._load(sample)
         points_norm, _, _ = pc_norm(points)
         spts, slab = self._sample(points_norm, labels, rng)

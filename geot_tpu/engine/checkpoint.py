@@ -13,7 +13,6 @@ import os
 import shutil
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 
 

@@ -7,7 +7,7 @@ jitted step and donated, so XLA updates it in place on device.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax

@@ -13,7 +13,7 @@ Phase switches are static booleans -> three XLA executables, compiled once.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,6 @@ import optax
 from ..losses import build_criterion_from_cfg
 from ..losses.contrast import contrast_loss_t
 from ..losses.inst_loss import feature_space_loss, identity_loss, threed_space_loss
-from ..optim.factory import build_optimizer_from_cfg
 from .semi import apply_T, combine_T, ntm_update, pseudo_stats
 from .state import SemiTrainState, TrainState
 

@@ -13,9 +13,7 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-import sys
 import time
-from typing import Optional
 
 import numpy as np
 

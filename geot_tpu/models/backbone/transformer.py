@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops import (fps, fps_gather, gather_points, grouping_operation, knn,
+from ...ops import (fps, gather_points, grouping_operation, knn,
                     three_interpolation)
 from ..build import MODELS
 from ..layers.common import DropPath, MlpBlock, SharedMLP, drop_path_rates

@@ -1,7 +1,7 @@
 """Classification wrappers (reference: ``openpoints/models/classification/cls_base.py:13,47``)."""
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 

@@ -8,7 +8,7 @@ views.  All flax/channels-last (images NHWC; the reference is NCHW).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

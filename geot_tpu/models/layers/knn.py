@@ -5,8 +5,6 @@ reference; the underlying search is the blockwise TPU kernel.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ...ops import knn as _ops_knn
 
 
