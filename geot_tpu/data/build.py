@@ -47,7 +47,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, num_workers: int = 4, seed: int = 0,
-                 collate_fn=None, num_shards: int = 1, shard_index: int = 0):
+                 collate_fn=None, num_shards: int = 1, shard_index: int = 0,
+                 batch_mixers=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -58,6 +59,8 @@ class DataLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.epoch = 0
+        # batch-level transforms (Cutmix) applied after collation
+        self.batch_mixers = batch_mixers or []
 
     def set_epoch(self, epoch: int):
         """Reference ``DistributedSampler.set_epoch`` (``train.py:278-279``);
@@ -91,7 +94,13 @@ class DataLoader:
                        for i in range(nb)]
 
             def fetch(batch_idx):
-                return self.collate([self.dataset[int(j)] for j in batch_idx])
+                batch = self.collate([self.dataset[int(j)] for j in batch_idx])
+                if self.batch_mixers:
+                    rng = np.random.default_rng(
+                        (self.seed, self.epoch, int(batch_idx[0])))
+                    for mixer in self.batch_mixers:
+                        batch = mixer.mix_batch(batch, rng)
+                return batch
 
             # prefetch depth = num_workers
             futures = []
@@ -137,9 +146,12 @@ def build_dataloader_from_cfg(batch_size: int, dataset_cfg,
     shards, shard_idx = _shard_info(distributed)
     num_workers = (dataloader_cfg or {}).get("num_workers", 4)
     shuffle = split in ("train", "training")
+    mixers = [t for t in (transform.transforms if transform else [])
+              if hasattr(t, "mix_batch")]
     return DataLoader(dataset, batch_size, shuffle=shuffle, drop_last=shuffle,
                       num_workers=num_workers, seed=seed,
-                      num_shards=shards, shard_index=shard_idx)
+                      num_shards=shards, shard_index=shard_idx,
+                      batch_mixers=mixers)
 
 
 def build_semi_dataloader_from_cfg(batch_size: int, dataset_cfg,

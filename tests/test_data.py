@@ -179,3 +179,40 @@ class TestNativeIO:
         order_b = np.lexsort(np_pts.T)
         np.testing.assert_allclose(na_pts[order_a], np_pts[order_b], atol=1e-5)
         np.testing.assert_array_equal(na_lab[order_a], np_lab[order_b])
+
+
+class TestDeterminismAndCutmix:
+    def test_same_epoch_same_batch(self):
+        from geot_tpu.data import build_dataloader_from_cfg
+
+        def first_batch():
+            loader = build_dataloader_from_cfg(2, DS_CFG, {"num_workers": 1},
+                                               DT_CFG, split="train", seed=7)
+            loader.set_epoch(3)
+            return next(iter(loader))
+
+        a, b = first_batch(), first_batch()
+        np.testing.assert_allclose(a["pos"], b["pos"])
+        np.testing.assert_array_equal(a["y"], b["y"])
+
+    def test_different_epoch_differs(self):
+        from geot_tpu.data import build_dataloader_from_cfg
+
+        loader = build_dataloader_from_cfg(2, DS_CFG, {"num_workers": 1},
+                                           DT_CFG, split="train", seed=7)
+        loader.set_epoch(1)
+        a = next(iter(loader))
+        loader.set_epoch(2)
+        b = next(iter(loader))
+        assert not np.allclose(a["pos"], b["pos"])
+
+    def test_cutmix_batch_mixing(self):
+        from geot_tpu.data import build_dataloader_from_cfg
+
+        dt = {"train": ["PointsToTensor", "Cutmix"],
+              "kwargs": {"prob": 1.0, "num_mix": 1}}
+        loader = build_dataloader_from_cfg(4, DS_CFG, {"num_workers": 1}, dt,
+                                           split="train", seed=0)
+        assert loader.batch_mixers, "Cutmix should register as a batch mixer"
+        batch = next(iter(loader))
+        assert batch["pos"].shape == (4, 512, 3)
