@@ -1,0 +1,123 @@
+"""Standalone inference CLI — the serving-facing path.
+
+The reference has no inference entry point (eval only happens inside the
+training loop); production deployment needs one:
+
+    python -m geot_tpu.engine.predict --cfg cfgs/tooth_semi/transformer_finetune_fixmatch_ntm.yaml \
+        --ckpt <orbax dir | reference .pth> --input scan.obj --output labels.json [--ply out.ply]
+
+Pipeline: OBJ vertices (C++ fast parser) -> unit-sphere normalise -> 16k
+subsample -> jitted flagship forward -> three_nn upsample of softmax to the
+full scan -> FDI labels json (+ optional coloured PLY).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from ..core.config import EasyConfig
+from ..data.io import load_obj_vertices
+from ..data.tooth_semi import FDI_LABEL_MAP, pc_norm
+from ..models import build_model_from_cfg
+from .eval import get_pred_whole
+
+# contiguous class id -> FDI code of the upper/lower jaw
+_ID2FDI_LOWER = {0: 0, **{v: k for k, v in FDI_LABEL_MAP.items() if 30 < k < 50}}
+_ID2FDI_UPPER = {0: 0, **{v: k for k, v in FDI_LABEL_MAP.items() if 10 < k < 30}}
+
+
+def load_model_and_params(cfg, ckpt_path: str | None):
+    import jax
+    import jax.numpy as jnp
+
+    model = build_model_from_cfg(cfg.model)
+    n = int(cfg.get("num_points", 16000))
+    pos0 = jnp.zeros((1, n, 3))
+    init_batch = {"pos": pos0, "x": pos0, "cls": jnp.zeros((1, 1), jnp.int32)}
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(
+        {"params": key, "dropout": jax.random.fold_in(key, 1)}, init_batch)
+    if ckpt_path:
+        if ckpt_path.endswith(".pth"):
+            from .checkpoint import convert_torch_seg_t, load_torch_pth
+
+            sd = load_torch_pth(ckpt_path)
+            p, s = convert_torch_seg_t(sd, depth=cfg.model.segmentor_args.depth)
+            variables = {"params": p, "batch_stats": s}
+        else:
+            from flax.serialization import from_state_dict
+            import orbax.checkpoint as ocp
+
+            payload = ocp.StandardCheckpointer().restore(ckpt_path)
+            state = payload["state"]
+            variables = {"params": from_state_dict(variables["params"],
+                                                   state["params"]),
+                         "batch_stats": from_state_dict(variables["batch_stats"],
+                                                        state["batch_stats"])}
+    return model, variables
+
+
+def predict_scan(model, variables, points: np.ndarray, jaw: int = 0,
+                 num_points: int = 16000, seed: int = 0):
+    """points (P, 3) raw scan -> (full-res predictions (P,), sampled logits)."""
+    import jax
+    import jax.numpy as jnp
+
+    points_norm, center, scale = pc_norm(points.astype(np.float32))
+    rng = np.random.default_rng(seed)
+    sel = rng.choice(len(points_norm), num_points,
+                     replace=len(points_norm) < num_points)
+    pos = points_norm[sel][None]
+    batch = {"pos": jnp.asarray(pos), "x": jnp.asarray(pos),
+             "cls": jnp.full((1, 1), jaw, jnp.int32)}
+    logits, *_ = jax.jit(lambda v, b: model.apply(v, b))(variables, batch)
+    preds = get_pred_whole(logits, pos, [points], [center], [scale])
+    return preds[0], np.asarray(logits[0])
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("GeoT-TPU inference")
+    parser.add_argument("--cfg", required=True)
+    parser.add_argument("--ckpt", default=None,
+                        help="orbax checkpoint dir or reference .pth")
+    parser.add_argument("--input", required=True, help=".obj scan (or .npy Nx3)")
+    parser.add_argument("--output", default="labels.json")
+    parser.add_argument("--ply", default=None, help="optional coloured PLY out")
+    parser.add_argument("--jaw", type=int, default=None,
+                        help="0 lower / 1 upper; inferred from filename if absent")
+    args, opts = parser.parse_known_args(argv)
+
+    cfg = EasyConfig()
+    cfg.load(args.cfg, recursive=True)
+    cfg.update(opts)
+
+    jaw = args.jaw
+    if jaw is None:
+        jaw = 0 if "lower" in args.input.lower() else 1
+
+    points = (np.load(args.input) if args.input.endswith(".npy")
+              else load_obj_vertices(args.input))
+    model, variables = load_model_and_params(cfg, args.ckpt)
+    t0 = time.time()
+    pred, _ = predict_scan(model, variables, points, jaw=jaw,
+                           num_points=int(cfg.get("num_points", 16000)))
+    dt = time.time() - t0
+    id2fdi = _ID2FDI_LOWER if jaw == 0 else _ID2FDI_UPPER
+    labels = [int(id2fdi[int(c)]) for c in pred]
+    with open(args.output, "w") as f:
+        json.dump({"labels": labels, "jaw": "lower" if jaw == 0 else "upper",
+                   "n_points": len(labels), "seconds": dt}, f)
+    print(f"wrote {args.output}: {len(labels)} labels in {dt:.2f}s")
+    if args.ply:
+        from ..utils import save_ply
+
+        save_ply(args.ply, points, labels=pred)
+        print(f"wrote {args.ply}")
+    return labels
+
+
+if __name__ == "__main__":
+    main()
