@@ -105,6 +105,7 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
     td_w = float(cfg.get("threed_loss_weight", 0.1))
     use_contrast = bool(cfg.get("use_contrastive", False))
     contrast_w = float(cfg.get("contrastive_loss_weight", 1.0))
+    pseudo_refine = bool(cfg.get("pseudo_refine", False))
 
     b_l = int(cfg["batch_size_l"])
     b_u = int(cfg["batch_size_u"])
@@ -141,6 +142,14 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
                     jax.nn.softmax(pred_u_weak, axis=-1))
             conf = jnp.max(probs_w, axis=-1)
             pseudo = jnp.argmax(probs_w, axis=-1)
+            refine_mask = None
+            if pseudo_refine:
+                # noisy-OR neighbour fusion mask (reference ``train.py``
+                # pseudo_refine branch + ``utils/pseudo_mask.py:38``)
+                from .pseudo_mask import pseudo_label_refine
+
+                refine_mask = pseudo_label_refine(
+                    probs_w, threshold, batch_u["raw_pos"])
 
             # --- NTM state machine -----------------------------------------
             ntm = ntm_update(state.ema_t, probs_w, sigma,
@@ -166,9 +175,11 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
             elif criterion_u_name == "MSE_Loss_U":
                 unsup = criterion_u(pred_u_strong, probs_w, thresh=threshold)
             else:  # Poly1FocalLoss_U_corr — the config default
-                unsup = criterion_u(pred_u_corr, pseudo, conf, thresh=threshold)
+                unsup = criterion_u(pred_u_corr, pseudo, conf, thresh=threshold,
+                                    mask=refine_mask)
 
-            thresh_mask = (conf >= threshold)
+            thresh_mask = refine_mask if refine_mask is not None \
+                else (conf >= threshold)
             scale = (b_u * conf.shape[-1]) / jnp.maximum(
                 jnp.sum(thresh_mask.astype(jnp.float32)), 1.0)
             unsup = unsup * unsup_w * scale

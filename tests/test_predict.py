@@ -1,0 +1,46 @@
+"""Inference CLI end-to-end test."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from geot_tpu.data.tooth_semi import _synthetic_scan
+from geot_tpu.engine.predict import main
+
+
+@pytest.mark.slow
+def test_predict_cli(tmp_path):
+    pts, _ = _synthetic_scan(5, 4000)
+    obj = tmp_path / "scan_lower.obj"
+    with open(obj, "w") as f:
+        for p in pts:
+            f.write(f"v {p[0]:.5f} {p[1]:.5f} {p[2]:.5f}\n")
+    out = tmp_path / "pred.json"
+    ply = tmp_path / "pred.ply"
+    cfg = os.path.join(os.path.dirname(__file__), "..", "cfgs", "tooth_semi",
+                       "smoke.yaml")
+    main(["--cfg", cfg, "--input", str(obj), "--output", str(out),
+          "--ply", str(ply), "num_points=256"])
+    d = json.load(open(out))
+    assert d["jaw"] == "lower" and d["n_points"] == 4000
+    assert all(l == 0 or (31 <= l <= 48) for l in d["labels"])  # lower FDI codes
+    assert ply.exists()
+
+
+def test_profiler_and_writer(tmp_path):
+    from geot_tpu.engine.profiler import StepTimer
+    from geot_tpu.engine.writer import SummaryWriter
+
+    t = StepTimer(str(tmp_path / "steps.jsonl"))
+    t.tick(0)
+    t.tick(1)
+    assert t.mean >= 0
+    t.close()
+    assert (tmp_path / "steps.jsonl").exists()
+
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar("loss", 1.5, 3)
+    w.close()
+    line = json.loads(open(tmp_path / "scalars.jsonl").read().strip())
+    assert line["tag"] == "loss" and line["step"] == 3

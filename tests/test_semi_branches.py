@@ -112,3 +112,10 @@ def test_voting_validate(tmp_path):
     res = validate(eval_step, variables, loader, EasyConfig({"seed": 0}),
                    num_votes=2, data_transform=vote_t)
     assert np.isfinite(res["whole_acc"])
+
+
+@pytest.mark.slow
+def test_pseudo_refine_branch():
+    step, state, bl, bu = build_all({"pseudo_refine": True, "threshold": 0.3})
+    new_state, metrics = step(state, bl, bu, jnp.asarray(1e-3), True)
+    assert np.isfinite(float(metrics["loss"]))
