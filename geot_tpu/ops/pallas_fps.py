@@ -70,9 +70,12 @@ def _fps_kernel(xyz_ref, lut_ref, out_ref, mind_ref, *, npoint, n_valid):
     lax.fori_loop(1, npoint, body, jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("npoint",))
-def fps_pallas(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
-    """(B, N, 3) -> (B, npoint) int32 indices, Pallas TPU kernel."""
+@functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
+def fps_pallas(xyz: jnp.ndarray, npoint: int,
+               interpret: bool = False) -> jnp.ndarray:
+    """(B, N, 3) -> (B, npoint) int32 indices, Pallas TPU kernel.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests)."""
     B, N, _ = xyz.shape
     Np = -(-N // CHUNK) * CHUNK
     C = Np // SUB
@@ -96,5 +99,6 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, R, LANE), jnp.int32),
         scratch_shapes=[pltpu.VMEM((SUB, C), jnp.float32)],
+        interpret=interpret,
     )(xyz_t, lut)
     return out.reshape(B, R * LANE)[:, :npoint]

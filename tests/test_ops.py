@@ -204,3 +204,16 @@ class TestGridSubsample:
         labels = np.array([1, 1, 2, 1])
         sub, sub_l = ops.grid_subsample(pts, labels=labels, sample_dl=1.0, num_classes=3)
         assert sub_l.tolist() == [1]
+
+
+class TestPallasFps:
+    def test_interpret_mode_matches_oracle(self, rng):
+        """The Pallas kernel (TPU production path) against the numpy oracle,
+        via the Pallas interpreter so it runs in the CPU suite."""
+        from geot_tpu.ops.fps import _fps_impl
+        from geot_tpu.ops.pallas_fps import fps_pallas
+
+        xyz = jnp.asarray(rng.standard_normal((2, 1030, 3)).astype(np.float32))
+        a = np.asarray(fps_pallas(xyz, 40, interpret=True))
+        b = np.asarray(_fps_impl(xyz, None, 40))
+        np.testing.assert_array_equal(a, b)
