@@ -6,14 +6,17 @@ import numpy as np
 
 def get_features_by_keys(data, keys: str = "pos,x"):
     """Concatenate feature keys channels-last (reference ``data_util.py:177``
-    returns channels-first; this rebuild is channels-last everywhere)."""
+    returns channels-first; this rebuild is channels-last everywhere).
+    Works for both numpy (host pipeline) and jax arrays."""
     key_list = keys.split(",")
     if len(key_list) == 1:
         return data[keys]
-    return np.concatenate([data[k] for k in key_list], axis=-1) \
-        if isinstance(data[key_list[0]], np.ndarray) else \
-        __import__("jax.numpy", fromlist=["concatenate"]).concatenate(
-            [data[k] for k in key_list], axis=-1)
+    arrays = [data[k] for k in key_list]
+    if isinstance(arrays[0], np.ndarray):
+        return np.concatenate(arrays, axis=-1)
+    import jax.numpy as jnp
+
+    return jnp.concatenate(arrays, axis=-1)
 
 
 def get_class_weights(num_per_class, normalize: bool = False) -> np.ndarray:
