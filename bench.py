@@ -45,6 +45,10 @@ def main():
     seg_args = dict(FLAGSHIP_SEG_ARGS)
     # bf16 compute path (+36% measured); BENCH_DTYPE=float32 for the f32 number
     seg_args["dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
+    # BENCH_FAST_PYRAMID=1 benches the serving mode (stratified decoder
+    # pyramid; -0.3% sampled acc measured on a trained ckpt)
+    if os.environ.get("BENCH_FAST_PYRAMID") == "1":
+        seg_args["fast_pyramid"] = True
     model, variables, _ = _build(seg_args, N_POINTS, BATCH)
 
     # reduce to a scalar on device: forces full compute per call with a

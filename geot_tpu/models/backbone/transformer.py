@@ -18,6 +18,7 @@ from typing import Any, Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops import (fps, gather_points, grouping_operation, knn,
                     three_interpolation)
@@ -245,6 +246,7 @@ class _PointTransformerSegBase(nn.Module):
     with_T: bool = False
     head_mode: str = "plain"     # plain | cluster | classifier
     dtype: Any = None            # computation dtype (e.g. bf16); params stay f32
+    fast_pyramid: bool = False   # serving mode: stratified decoder pyramid
 
     @nn.compact
     def __call__(self, pts, x=None, cls_label=None, T=None,
@@ -258,11 +260,23 @@ class _PointTransformerSegBase(nn.Module):
         # reference's four separate CUDA FPS launches (``transformer.py:1017,
         # 1037-1040``) collapse into a single kernel call with identical
         # results (same start-at-0 convention).
-        max_n = max(max(self.downsample_targets), self.num_group)
-        fps_idx = fps(pts, max_n)
-        fps_pts = gather_points(pts, fps_idx)
+        #
+        # fast_pyramid (serving): FPS only selects the num_group tokenizer
+        # centers; the decoder pyramid (half-density and below, where greedy
+        # FPS approximates uniform coverage) uses a FIXED pseudo-random
+        # permutation of the input order — prefix property preserved, and the
+        # sequential FPS loop shrinks ~16x.
+        if self.fast_pyramid:
+            fps_idx = fps(pts, self.num_group)
+            perm = np.random.default_rng(0).permutation(N)
+            fps_pts = jnp.take(pts, jnp.asarray(perm), axis=1)
+        else:
+            max_n = max(max(self.downsample_targets), self.num_group)
+            fps_idx = fps(pts, max_n)
+            fps_pts = gather_points(pts, fps_idx)
 
-        center = fps_pts[:, : self.num_group]
+        center = (gather_points(pts, fps_idx) if self.fast_pyramid
+                  else fps_pts[:, : self.num_group])
         _, knn_idx = knn(center, pts, self.group_size)
         neighborhood = grouping_operation(pts, knn_idx) - center[:, :, None, :]
         tokens = MiniPointNetEncoder(self.encoder_dims, dtype=self.dtype,

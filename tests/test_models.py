@@ -204,3 +204,17 @@ class TestLayersExtra:
         v = m.init(jax.random.PRNGKey(0), pos)
         tokens, center = m.apply(v, pos)
         assert tokens.shape == (2, 32, 32) and center.shape == (2, 32, 3)
+
+
+class TestFastPyramid:
+    def test_fast_pyramid_forward(self, rng):
+        cfg = dict(SEG_T_CFG["segmentor_args"])
+        cfg["fast_pyramid"] = True
+        model = build_model_from_cfg(EasyConfig({"NAME": "WholePartSeg",
+                                                 "segmentor_args": cfg}))
+        batch = make_batch(rng)
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)}, batch)
+        logit, *_ = model.apply(variables, batch)
+        assert logit.shape == (B, N, C)
+        assert np.isfinite(np.asarray(logit)).all()
