@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..losses import build_criterion_from_cfg
+from ..optim.factory import set_learning_rate
 from ..losses.contrast import contrast_loss_t
 from ..losses.inst_loss import feature_space_loss, identity_loss, threed_space_loss
 from .semi import apply_T, combine_T, ntm_update, pseudo_stats
@@ -59,8 +60,7 @@ def make_supervised_step(model, tx, cfg) -> Callable:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        opt_state = state.opt_state
-        opt_state.hyperparams["lr_value"] = lr
+        opt_state = set_learning_rate(state.opt_state, lr)
         updates, opt_state = tx.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(params=params, batch_stats=new_bs,
@@ -222,13 +222,11 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
             scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
             g_model = jax.tree_util.tree_map(lambda g: g * scale, g_model)
 
-        opt_state = state.opt_state
-        opt_state.hyperparams["lr_value"] = lr
+        opt_state = set_learning_rate(state.opt_state, lr)
         updates, opt_state = tx.update(g_model, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        t_opt_state = state.t_opt_state
-        t_opt_state.hyperparams["lr_value"] = lr
+        t_opt_state = set_learning_rate(state.t_opt_state, lr)
         t_updates, t_opt_state = t_tx.update(g_t, t_opt_state, state.t_params)
         t_params = optax.apply_updates(state.t_params, t_updates)
 

@@ -104,7 +104,9 @@ def main(cfg: EasyConfig) -> dict:
                   for p in jax.tree_util.tree_leaves(variables["params"]))
     logger.info(f"model params: {nparams / 1e6:.3f} M")
 
-    tx = build_optimizer_from_cfg(None, lr=cfg.lr, **cfg.optimizer)
+    tx = build_optimizer_from_cfg(None, lr=cfg.lr,
+                                  every_k=int(cfg.get("step_per_update", 1) or 1),
+                                  **cfg.optimizer)
     schedule = build_scheduler_from_cfg(cfg)
     eval_step = make_eval_step(model)
 

@@ -562,3 +562,20 @@ class SigTMean(nn.Module):
         ins_t = data + const[None]
         ins_t = jnp.clip(ins_t, 1e-5, 1 - 1e-5)
         return ins_t / jnp.sum(ins_t, axis=2, keepdims=True)
+
+
+@MODELS.register_module(name="Gragh_Matching")
+class GraghMatching(nn.Module):
+    """Registry-parity stub: the reference class
+    (``transformer.py:1263-1289``) is non-functional — its ``forward`` is
+    ``pass`` and ``node_sampling`` is unfinished — so this mirrors the surface
+    and raises if actually invoked."""
+
+    in_channels: int = 128
+    nclasses: int = 17
+    sample_nums: int = 1024
+
+    def __call__(self, feat_s, feat_t, label_t):
+        raise NotImplementedError(
+            "Gragh_Matching is an unfinished stub in the reference "
+            "(forward is `pass`); kept only for registry parity.")

@@ -92,13 +92,16 @@ def _adafactor(lr, **kw):
     return optax.adafactor(lr)
 
 
-def build_optimizer_from_cfg(params_or_model=None, lr: float = 1e-3, **cfg):
-    """Return ``(tx, schedule_fn)``-free optax transform with injected lr.
+def build_optimizer_from_cfg(params_or_model=None, lr: float = 1e-3,
+                             every_k: int = 1, **cfg):
+    """Return an optax transform with injected lr.
 
     Mirrors ``build_optimizer_from_cfg`` (reference ``optim_factory.py:156``):
     dispatch on ``NAME``, weight-decay filtering on by default.  The first
     positional arg (a torch model in the reference) is ignored — parameters
-    are bound at ``tx.init(params)`` time in JAX.
+    are bound at ``tx.init(params)`` time in JAX.  ``every_k > 1`` wraps in
+    ``optax.MultiSteps`` (gradient accumulation — the reference's
+    ``cfg.step_per_update``).
     """
     name = cfg.pop("NAME", "adamw").lower()
     if name not in _OPTIMIZERS:
@@ -109,7 +112,10 @@ def build_optimizer_from_cfg(params_or_model=None, lr: float = 1e-3, **cfg):
         return factory(lr_value, **cfg)
 
     # inject_hyperparams exposes state.hyperparams['lr_value'] for per-epoch updates
-    return optax.inject_hyperparams(make)(lr_value=lr)
+    tx = optax.inject_hyperparams(make)(lr_value=lr)
+    if every_k > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=every_k)
+    return tx
 
 
 def build_scheduler_from_cfg(cfg, optimizer=None):
@@ -183,6 +189,8 @@ def build_scheduler_from_cfg(cfg, optimizer=None):
 def set_learning_rate(opt_state, lr_value: float):
     """Write the scheduled lr into an inject_hyperparams state (the JAX
     equivalent of the reference's ``scheduler.step(epoch)`` mutating the torch
-    optimizer's param_groups)."""
-    opt_state.hyperparams["lr_value"] = jax.numpy.asarray(lr_value, dtype=jax.numpy.float32)
+    optimizer's param_groups).  Handles MultiSteps-wrapped states."""
+    inner = getattr(opt_state, "inner_opt_state", opt_state)
+    inner.hyperparams["lr_value"] = jax.numpy.asarray(lr_value,
+                                                      dtype=jax.numpy.float32)
     return opt_state

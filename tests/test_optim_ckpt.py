@@ -128,3 +128,21 @@ class TestMesh:
         assert param_sharding_rules("blocks/block_0/attn/proj/kernel", k) == P("tp", None)
         assert param_sharding_rules("encoder/conv1a/kernel", k) == P()
         assert param_sharding_rules("norm/scale", jnp.ones((8,))) == P()
+
+
+class TestGradAccumulation:
+    def test_multisteps_accumulates(self):
+        from geot_tpu.optim.factory import set_learning_rate
+
+        params = {"w": jnp.zeros((2, 2))}
+        tx = build_optimizer_from_cfg(None, lr=1.0, NAME="sgd", momentum=0.0,
+                                      every_k=2)
+        state = tx.init(params)
+        g = {"w": jnp.ones((2, 2))}
+        state = set_learning_rate(state, 1.0)
+        up1, state = tx.update(g, state, params)
+        # first micro-step: no update applied yet
+        np.testing.assert_allclose(np.asarray(up1["w"]), 0.0)
+        up2, state = tx.update(g, state, params)
+        # second micro-step: mean of accumulated grads applied
+        np.testing.assert_allclose(np.asarray(up2["w"]), -1.0, atol=1e-6)
