@@ -23,10 +23,10 @@ import time
 import numpy as np
 
 _IS_CPU = os.environ.get("BENCH_CPU") == "1"
-BATCH = int(os.environ.get("BENCH_BATCH", "2"))  # B=2 pipelines best (65 vs 60 scans/s at B=8)
+BATCH = int(os.environ.get("BENCH_BATCH", "1"))  # B=1 pipelines best (74 vs 67@B2, 60@B8 scans/s)
 N_POINTS = 16000
 WARMUP = 1 if _IS_CPU else 2
-ITERS = int(os.environ.get("BENCH_ITERS", "1" if _IS_CPU else "24"))
+ITERS = int(os.environ.get("BENCH_ITERS", "1" if _IS_CPU else "32"))
 CPU_REF_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_cpu_ref.json")
 
