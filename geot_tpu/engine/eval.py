@@ -11,7 +11,6 @@ of the metrics.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, List
 
 import jax
@@ -22,7 +21,7 @@ from ..core.metrics import seg_metrics_whole
 from ..ops import three_nn
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def _upsample_pred(probs, pos, full_points, center, scale):
     """probs (N, C) softmax; pos (N, 3) normalised sample; full (P, 3) raw.
     Returns argmax predictions (P,) on the full scan."""
