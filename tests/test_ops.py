@@ -217,3 +217,17 @@ class TestPallasFps:
         a = np.asarray(fps_pallas(xyz, 40, interpret=True))
         b = np.asarray(_fps_impl(xyz, None, 40))
         np.testing.assert_array_equal(a, b)
+
+
+class TestPallasKnnSmallK:
+    def test_interpret_exact_match(self, rng):
+        """Fused Pallas small-k kNN (TPU exact path) vs top_k, via the
+        interpreter so it runs in the CPU suite."""
+        from geot_tpu.ops.pallas_knn import knn_small_k_pallas
+
+        q = jnp.asarray(rng.standard_normal((2, 300, 3)).astype(np.float32))
+        s = jnp.asarray(rng.standard_normal((2, 450, 3)).astype(np.float32))
+        d_p, i_p = knn_small_k_pallas(q, s, 3, interpret=True)
+        d_e, i_e = ops.knn(q, s, 3, exact=True, squared=True)
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_e))
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_e), atol=1e-5)
