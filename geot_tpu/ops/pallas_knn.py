@@ -75,8 +75,10 @@ def _knn_kernel(q_ref, s_ref, dist_ref, idx_ref, *, k, n_valid, cs, tq_valid):
             cols_i[a] = jnp.where(swap, ib, ia)
             cols_i[b] = jnp.where(swap, ia, ib)
 
+        # both halves are sorted, so odd-even transposition converges in
+        # k+1 passes (max displacement k) instead of 2k
         n2 = 2 * k
-        for _ in range(n2):
+        for _ in range(k + 1):
             for a in range(0, n2 - 1, 2):
                 cswp(a, a + 1)
             for a in range(1, n2 - 1, 2):
@@ -94,7 +96,7 @@ def _knn_kernel(q_ref, s_ref, dist_ref, idx_ref, *, k, n_valid, cs, tq_valid):
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "cs", "interpret"))
 def knn_small_k_pallas(query: jnp.ndarray, support: jnp.ndarray, k: int,
-                       tq: int = 512, cs: int = 1024,
+                       tq: int = 256, cs: int = 2048,
                        interpret: bool = False):
     """Batched exact kNN for k <= 4: (B, Q, 3) x (B, N, 3) ->
     (d2 (B, Q, k) SQUARED, idx (B, Q, k))."""
