@@ -218,6 +218,19 @@ class TestPallasFps:
         b = np.asarray(_fps_impl(xyz, None, 40))
         np.testing.assert_array_equal(a, b)
 
+    def test_duplicated_points_tiebreak(self, rng):
+        """Clouds with exact duplicates (real scans have them): the kernel's
+        masked-argmax tiebreak must match the oracle's smallest-index rule."""
+        from geot_tpu.ops.fps import _fps_impl
+        from geot_tpu.ops.pallas_fps import fps_pallas
+
+        base = rng.standard_normal((1, 100, 3)).astype(np.float32)
+        xyz = jnp.asarray(np.concatenate([base, base[:, :60], base[:, :40]],
+                                         axis=1))               # (1, 200, 3)
+        a = np.asarray(fps_pallas(xyz, 32, interpret=True))
+        b = np.asarray(_fps_impl(xyz, None, 32))
+        np.testing.assert_array_equal(a, b)
+
 
 class TestPallasKnnSmallK:
     def test_interpret_exact_match(self, rng):
@@ -231,3 +244,42 @@ class TestPallasKnnSmallK:
         d_e, i_e = ops.knn(q, s, 3, exact=True, squared=True)
         np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_e))
         np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_e), atol=1e-5)
+
+    def test_k1_and_k4(self, rng):
+        from geot_tpu.ops.pallas_knn import knn_small_k_pallas
+
+        q = jnp.asarray(rng.standard_normal((1, 130, 3)).astype(np.float32))
+        s = jnp.asarray(rng.standard_normal((1, 200, 3)).astype(np.float32))
+        for k in (1, 4):
+            d_p, i_p = knn_small_k_pallas(q, s, k, interpret=True)
+            d_e, i_e = ops.knn(q, s, k, exact=True, squared=True)
+            np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_e))
+            np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_e),
+                                       atol=1e-5)
+
+    def test_coincident_points_and_ties(self, rng):
+        """The eval upsampler (engine/eval.py) relies on exact-zero distance
+        for coincident points and lax.top_k's smallest-index tiebreak."""
+        from geot_tpu.ops.pallas_knn import knn_small_k_pallas
+
+        s = rng.standard_normal((1, 64, 3)).astype(np.float32)
+        # support with duplicated points (tie candidates at equal distance)
+        s = np.concatenate([s, s[:, :32]], axis=1)              # (1, 96, 3)
+        q = jnp.asarray(s[:, :48])                              # queries ⊂ support
+        s = jnp.asarray(s)
+        d_p, i_p = knn_small_k_pallas(q, s, 3, interpret=True)
+        d_e, i_e = ops.knn(q, s, 3, exact=True, squared=True)
+        # nearest neighbour of a support-member query is itself at exactly 0,
+        # and ties resolve to the smaller index in both paths
+        assert np.all(np.asarray(d_p)[..., 0] == 0.0)
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_e))
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_e), atol=1e-6)
+
+    def test_self_query(self, rng):
+        from geot_tpu.ops.pallas_knn import knn_small_k_pallas
+
+        x = jnp.asarray(rng.standard_normal((2, 160, 3)).astype(np.float32))
+        d_p, i_p = knn_small_k_pallas(x, x, 2, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i_p)[..., 0],
+                                      np.arange(160)[None].repeat(2, 0))
+        assert np.all(np.asarray(d_p)[..., 0] == 0.0)
