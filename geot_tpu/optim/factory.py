@@ -92,6 +92,37 @@ def _adafactor(lr, **kw):
     return optax.adafactor(lr)
 
 
+@_register("rmsprop", "rmsprop_tf", "rmsproptf")
+def _rmsprop_tf(lr, alpha=0.9, eps=1e-10, momentum=0.9, **kw):
+    # tf/timm-style: eps inside the sqrt, accumulator initialised to 1
+    return optax.rmsprop(lr, decay=alpha, eps=eps, initial_scale=1.0,
+                         eps_in_sqrt=True, momentum=momentum or None)
+
+
+@_register("adamp")
+def _adamp(lr, weight_decay=1e-4, betas=(0.9, 0.999), eps=1e-8,
+           delta=0.1, wd_ratio=0.1, nesterov=False, filter_bias_and_bn=True, **kw):
+    from .extra import adamp
+    return adamp(lr, b1=betas[0], b2=betas[1], eps=eps,
+                 weight_decay=weight_decay, delta=delta, wd_ratio=wd_ratio,
+                 nesterov=nesterov, filter_bias_and_bn=filter_bias_and_bn)
+
+
+@_register("sgdp")
+def _sgdp(lr, momentum=0.9, weight_decay=1e-4, nesterov=True,
+          delta=0.1, wd_ratio=0.1, filter_bias_and_bn=True, **kw):
+    from .extra import sgdp
+    return sgdp(lr, momentum=momentum, weight_decay=weight_decay,
+                nesterov=nesterov, delta=delta, wd_ratio=wd_ratio,
+                filter_bias_and_bn=filter_bias_and_bn)
+
+
+@_register("madgrad")
+def _madgrad(lr, momentum=0.9, weight_decay=0.0, eps=1e-6, **kw):
+    from .extra import madgrad
+    return madgrad(lr, momentum=momentum, weight_decay=weight_decay, eps=eps)
+
+
 def build_optimizer_from_cfg(params_or_model=None, lr: float = 1e-3,
                              every_k: int = 1, **cfg):
     """Return an optax transform with injected lr.
@@ -104,12 +135,25 @@ def build_optimizer_from_cfg(params_or_model=None, lr: float = 1e-3,
     ``cfg.step_per_update``).
     """
     name = cfg.pop("NAME", "adamw").lower()
+    # "lookahead_sgd" / "lookaheadadamw": the reference's timm-style prefix
+    # (optim_factory.py: opt.split('_') with a Lookahead wrapper)
+    la_kwargs = None
+    for prefix in ("lookahead_", "lookahead"):
+        if name.startswith(prefix) and name != "lookahead":
+            la_kwargs = {"alpha": cfg.pop("lookahead_alpha", 0.5),
+                         "k": cfg.pop("lookahead_k", 6)}
+            name = name[len(prefix):]
+            break
     if name not in _OPTIMIZERS:
         raise ValueError(f"unknown optimizer {name}; known: {sorted(_OPTIMIZERS)}")
     factory = _OPTIMIZERS[name]
 
     def make(lr_value):
-        return factory(lr_value, **cfg)
+        tx = factory(lr_value, **cfg)
+        if la_kwargs is not None:
+            from .extra import lookahead
+            tx = optax.chain(tx, lookahead(**la_kwargs))
+        return tx
 
     # inject_hyperparams exposes state.hyperparams['lr_value'] for per-epoch updates
     tx = optax.inject_hyperparams(make)(lr_value=lr)

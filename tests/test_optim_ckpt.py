@@ -46,6 +46,76 @@ class TestOptim:
         np.testing.assert_allclose(np.asarray(updates["w"]), -0.5, atol=1e-6)
 
 
+class TestExtraOptimizers:
+    """The timm-set optimizers optax lacks (optim/extra.py): adamp, sgdp,
+    madgrad, lookahead, rmsprop_tf."""
+
+    def _params(self):
+        return {"kernel": jnp.full((4, 4), 0.5), "bias": jnp.full((4,), 0.5)}
+
+    def test_adamp_first_step_is_lr_sized(self):
+        # with constant grads the first AdamP step is ~lr (adam-like), and
+        # bias (rank-1) gets no weight decay under filtering
+        params = self._params()
+        tx = build_optimizer_from_cfg(None, lr=0.1, NAME="adamp",
+                                      weight_decay=0.5)
+        state = tx.init(params)
+        g = jax.tree_util.tree_map(jnp.ones_like, params)
+        up, _ = tx.update(g, state, params)
+        assert abs(float(up["bias"][0]) + 0.1) < 1e-3         # no decay term
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        up0, _ = tx.update(zeros, tx.init(params), params)
+        assert float(jnp.abs(up0["bias"]).sum()) == 0          # bias undecayed
+        assert float(jnp.abs(up0["kernel"]).sum()) > 0         # kernel decayed
+
+    def test_adamp_projection_removes_radial_component(self):
+        # gradient orthogonal to the weight triggers the projection: the
+        # update must stay orthogonal to the weight direction
+        p = {"w": jnp.asarray([[1.0, 0.0], [1.0, 0.0]])}
+        g = {"w": jnp.asarray([[0.0, 1.0], [0.0, -1.0]])}      # ⟂ to w
+        from geot_tpu.optim.extra import adamp
+        tx = adamp(0.1, weight_decay=0.0)
+        up, _ = tx.update(g, tx.init(p), p)
+        radial = float(jnp.sum(up["w"] * p["w"]))
+        assert abs(radial) < 1e-6
+
+    def test_madgrad_moves_against_gradient(self):
+        params = self._params()
+        tx = build_optimizer_from_cfg(None, lr=0.1, NAME="madgrad")
+        state = tx.init(params)
+        g = jax.tree_util.tree_map(jnp.ones_like, params)
+        new = dict(params)
+        for _ in range(3):
+            up, state = tx.update(g, state, new)
+            new = optax.apply_updates(new, up)
+        assert float(new["kernel"][0, 0]) < float(params["kernel"][0, 0])
+
+    def test_lookahead_sync_every_k(self):
+        from geot_tpu.optim.extra import lookahead
+
+        params = {"w": jnp.zeros((2,))}
+        tx = lookahead(alpha=0.5, k=2)
+        state = tx.init(params)
+        u = {"w": jnp.full((2,), -1.0)}                        # fast step of -1
+        # step 1: pass-through
+        up1, state = tx.update(u, state, params)
+        np.testing.assert_allclose(np.asarray(up1["w"]), -1.0)
+        p1 = optax.apply_updates(params, up1)                  # w = -1
+        # step 2 (sync): fast would be -2; slow 0 -> 0 + 0.5*(-2-0) = -1
+        up2, state = tx.update(u, state, p1)
+        p2 = optax.apply_updates(p1, up2)
+        np.testing.assert_allclose(np.asarray(p2["w"]), -1.0, atol=1e-6)
+
+    def test_lookahead_prefix_dispatch(self):
+        params = self._params()
+        tx = build_optimizer_from_cfg(None, lr=0.1, NAME="lookahead_sgd",
+                                      momentum=0.0, lookahead_k=2)
+        state = tx.init(params)
+        g = jax.tree_util.tree_map(jnp.ones_like, params)
+        up, _ = tx.update(g, state, params)
+        np.testing.assert_allclose(np.asarray(up["kernel"]), -0.1, atol=1e-6)
+
+
 class TestSchedulers:
     def test_multistep(self):
         s = build_scheduler_from_cfg({"sched": "multistep", "lr": 1.0,
