@@ -94,5 +94,46 @@ def main():
                       "vs_baseline": round(vs, 3) if vs is not None else None}))
 
 
+def _supervised():
+    """Run the bench in a fresh child process, retrying once on failure.
+
+    The axon TPU relay is single-tenant: a process killed mid-claim wedges the
+    chip and the next contact fails (FAILED_PRECONDITION) or hangs ~90 s until
+    the claim expires.  A fresh interpreter per attempt avoids corrupt backend
+    state; the sleep between attempts lets a stale claim expire.  Whatever
+    happens, exactly one JSON line goes to stdout so the driver can parse it.
+    """
+    import subprocess
+
+    env = dict(os.environ)
+    env["_GEOT_BENCH_CHILD"] = "1"
+    here = os.path.abspath(__file__)
+    last_err = "unknown"
+    for attempt in range(2):
+        if attempt:
+            time.sleep(120)  # let any stale single-tenant TPU claim expire
+        try:
+            proc = subprocess.run(
+                [sys.executable, here], env=env, cwd=os.path.dirname(here),
+                stdout=subprocess.PIPE, timeout=1800)
+            out = proc.stdout.decode(errors="replace")
+            json_lines = [l for l in out.splitlines() if l.startswith("{")]
+            if proc.returncode == 0 and json_lines:
+                print(json_lines[-1])
+                return
+            last_err = (f"rc={proc.returncode}; tail: "
+                        + out[-400:].replace("\n", " | "))
+        except subprocess.TimeoutExpired:
+            last_err = "bench child timed out after 1800s"
+        print(f"bench attempt {attempt + 1} failed: {last_err}",
+              file=sys.stderr)
+    print(json.dumps({"metric": "tooth_scans_per_sec_16k_inference",
+                      "value": None, "unit": "scans/sec/chip",
+                      "vs_baseline": None, "error": last_err[:500]}))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("_GEOT_BENCH_CHILD") == "1":
+        main()
+    else:
+        _supervised()

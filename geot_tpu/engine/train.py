@@ -212,6 +212,8 @@ def main(cfg: EasyConfig) -> dict:
         if epoch % int(cfg.get("val_freq", 250)) == 0 or epoch == int(cfg.epochs):
             res = validate(eval_step, state.variables, val_loader, cfg, logger)
             results["val"] = res
+            if hasattr(schedule, "note_metric"):  # plateau scheduler feedback
+                schedule.note_metric(res["whole_miou"])
             is_best = res["whole_miou"] >= best["miou"] or np.isnan(best["miou"])
             if is_best and not np.isnan(res["whole_miou"]):
                 best.update(miou=res["whole_miou"], dsc=res["whole_dsc"],

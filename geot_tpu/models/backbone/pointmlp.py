@@ -239,6 +239,92 @@ class PointMLPPartSegmentor(nn.Module):
         return nn.Dense(self.num_classes, name="head1")(h)
 
 
+@MODELS.register_module(name="PointMLPGenEncoder")
+class PointMLPGenEncoder(nn.Module):
+    """PointMLP encoder that keeps per-group tokens (no global pool) for the
+    generation/pretraining stack (reference ``pointmlp.py:476-540``):
+    ``forward_cls_feat`` returns ``(tokens (B,G,C), centers (B,G,3))`` — the
+    (feats, coords) pair ``ViewGenBase`` feeds to the photo generator."""
+
+    in_channels: int = 3
+    embed_dim: int = 64
+    res_expansion: float = 1.0
+    bias: bool = False
+    use_xyz: bool = False
+    normalize: str = "anchor"
+    dim_expansion: Sequence[int] = (2, 2, 2, 2)
+    pre_blocks: Sequence[int] = (2, 2, 2, 2)
+    pos_blocks: Sequence[int] = (2, 2, 2, 2)
+    k_neighbors: Sequence[int] = (24, 24, 24, 24)
+    reducers: Sequence[int] = (2, 2, 2, 2)
+
+    @nn.compact
+    def __call__(self, xyz, features=None, training: bool = False):
+        if hasattr(xyz, "keys"):
+            xyz, features = xyz["pos"], xyz.get("x")
+        if features is None:
+            features = xyz
+        x = ConvBNReLU(self.embed_dim, self.bias, name="embedding")(
+            features, training=training)
+        last = self.embed_dim
+        for i in range(len(self.pre_blocks)):
+            out = last * self.dim_expansion[i]
+            xyz, grouped = LocalGrouper(last, self.reducers[i],
+                                        self.k_neighbors[i], self.use_xyz,
+                                        self.normalize,
+                                        name=f"grouper_{i}")(xyz, x)
+            x = PreExtraction(out, self.pre_blocks[i], self.res_expansion,
+                              self.bias, name=f"pre_{i}")(grouped,
+                                                          training=training)
+            x = PosExtraction(out, self.pos_blocks[i], self.res_expansion,
+                              self.bias, name=f"pos_{i}")(x, training=training)
+            last = out
+        return x, xyz                                       # tokens, centers
+
+    def forward_cls_feat(self, xyz, features=None, training: bool = False):
+        return self(xyz, features, training=training)
+
+
+@MODELS.register_module(name="PointMLPEncoderV2")
+class PointMLPEncoderV2(nn.Module):
+    """PointMLP encoder with a coordinate-aware feature MLP before the global
+    pool (reference ``pointmlp.py:354-420``): the final per-group features are
+    concatenated with their centers, mapped by an Mlp to ``feat_channels``,
+    then max-pooled to a single vector."""
+
+    in_channels: int = 3
+    embed_dim: int = 64
+    res_expansion: float = 1.0
+    bias: bool = False
+    use_xyz: bool = False
+    normalize: str = "anchor"
+    dim_expansion: Sequence[int] = (2, 2, 2, 2)
+    pre_blocks: Sequence[int] = (2, 2, 2, 2)
+    pos_blocks: Sequence[int] = (2, 2, 2, 2)
+    k_neighbors: Sequence[int] = (24, 24, 24, 24)
+    reducers: Sequence[int] = (2, 2, 2, 2)
+    feat_channels: int = 0          # 0 -> last stage width
+
+    @nn.compact
+    def __call__(self, xyz, features=None, training: bool = False):
+        if hasattr(xyz, "keys"):
+            xyz, features = xyz["pos"], xyz.get("x")
+        x, xyz = PointMLPGenEncoder(
+            self.in_channels, self.embed_dim, self.res_expansion, self.bias,
+            self.use_xyz, self.normalize, self.dim_expansion, self.pre_blocks,
+            self.pos_blocks, self.k_neighbors, self.reducers,
+            name="enc")(xyz, features, training=training)
+        out = self.feat_channels or x.shape[-1]
+        # timm-style Mlp: fc1 -> GELU -> fc2 (reference feat_mlp)
+        h = nn.Dense(out, name="feat_mlp_fc1")(
+            jnp.concatenate([x, xyz], axis=-1))
+        h = nn.Dense(out, name="feat_mlp_fc2")(nn.gelu(h, approximate=False))
+        return jnp.max(h, axis=1)                               # (B, C)
+
+    def forward_cls_feat(self, xyz, features=None, training: bool = False):
+        return self(xyz, features, training=training)
+
+
 @MODELS.register_module(name="PointMLP")
 def PointMLP(**kwargs):
     """Classification PointMLP (reference ``pointmlp.py:420``): encoder +

@@ -234,6 +234,29 @@ class ViewDecoderBig(nn.Module):
         return nn.sigmoid(nn.Conv(self.out_channels, (1, 1), name="out")(x))
 
 
+@MODELS.register_module(name="ViewDecoder_ds")
+class ViewDecoderDS(nn.Module):
+    """Deeply-supervised transposed-conv decoder (reference
+    ``view_decoder.py:110-166``): four 2x upsampling stages, each tapped by a
+    sigmoid conv head; returns the list of four progressively-larger images
+    (all NHWC here; the reference is NCHW)."""
+
+    in_channels: int = 384
+    out_channels: int = 3
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c = self.in_channels
+        imgs = []
+        for i, cout in enumerate((c // 2, c // 4, c // 8, c // 8)):
+            x = nn.relu(nn.ConvTranspose(cout, (3, 3), strides=(2, 2),
+                                         name=f"layer{i + 1}")(x))
+            head = nn.Conv(self.out_channels, (3, 3), padding=1,
+                           use_bias=False, name=f"out{i + 1}")(x)
+            imgs.append(nn.sigmoid(head))
+        return imgs
+
+
 @MODELS.register_module(name="ViewGenBase")
 class ViewGenBase(nn.Module):
     """Encoder + generator + decoder with foreground-weighted MSE

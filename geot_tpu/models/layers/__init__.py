@@ -5,6 +5,8 @@ from .subsample import furthest_point_sample, random_sample
 from .group import create_grouper, QueryAndGroup, KNNGroup, GroupAll, get_aggregation_features
 from .local_aggregation import ASSA, LocalAggregation, CHANNEL_MAP
 from .kmeans import kmeans
+from .graph_conv import (MRConv, EdgeConv, GraphConv, DynConv, ResDynBlock,
+                         DenseDynBlock)
 
 __all__ = [
     "MlpBlock", "DropPath", "PointBatchNorm", "SharedMLP", "drop_path_rates",
@@ -14,4 +16,6 @@ __all__ = [
     "create_grouper", "QueryAndGroup", "KNNGroup", "GroupAll",
     "get_aggregation_features",
     "ASSA", "LocalAggregation", "CHANNEL_MAP", "kmeans",
+    "MRConv", "EdgeConv", "GraphConv", "DynConv", "ResDynBlock",
+    "DenseDynBlock",
 ]

@@ -147,6 +147,61 @@ class BaseSeg(nn.Module):
         return f
 
 
+@MODELS.register_module(name="BasePartSeg")
+class BasePartSeg(nn.Module):
+    """Part segmentation composition (reference ``base_seg.py:55-72``): like
+    BaseSeg but the decoder is conditioned on the shape-category label and the
+    batch may arrive as raw arrays ``(p0, f0, cls0)`` or a dict."""
+
+    encoder_args: Any = None
+    decoder_args: Any = None
+    cls_args: Any = None
+
+    def setup(self):
+        self.encoder = build_model_from_cfg(self.encoder_args)
+        if self.decoder_args is not None:
+            dec_args = dict(self.decoder_args)
+            dec_args.setdefault("encoder_channel_list", self.encoder.channel_list)
+            self.decoder = build_model_from_cfg(dec_args)
+        else:
+            self.decoder = None
+        self.head = (build_model_from_cfg(self.cls_args)
+                     if self.cls_args is not None else None)
+
+    def __call__(self, p0, f0=None, cls0=None, training: bool = False):
+        if hasattr(p0, "keys"):
+            p0, f0, cls0 = p0["pos"], p0.get("x"), p0.get("cls")
+        l_xyz, l_feats = self.encoder.forward_seg_feat(p0, f0, training=training)
+        if self.decoder is not None:
+            f = self.decoder(l_xyz, l_feats, cls0, training=training)
+        else:
+            f = l_feats[-1] if isinstance(l_feats, (list, tuple)) else l_feats
+        if self.head is not None:
+            f = self.head(f, training=training)
+        return f
+
+
+@MODELS.register_module(name="DistillBaseSeg")
+class DistillBaseSeg(nn.Module):
+    """Distillation seg wrapper.  The reference class is entirely commented
+    out (``base_seg.py:433-470`` — dead code identical to BaseSeg plus unused
+    ``distill_args``/``criterion_args``); registered here functionally for
+    registry parity with the same accepted-and-ignored extra args."""
+
+    encoder_args: Any = None
+    decoder_args: Any = None
+    cls_args: Any = None
+    distill_args: Any = None
+    criterion_args: Any = None
+
+    def setup(self):
+        self.inner = BaseSeg(self.encoder_args, self.decoder_args,
+                             self.cls_args)
+
+    def __call__(self, data, training: bool = False):
+        return self.inner(data, training=training)
+
+
 @MODELS.register_module(name="SegHead")
 class GenericSegHead(nn.Module):
     """Per-point classification head (reference ``base_seg.py:284-342``):

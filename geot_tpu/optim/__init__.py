@@ -1,3 +1,4 @@
-from .factory import build_optimizer_from_cfg, build_scheduler_from_cfg
+from .factory import (PlateauSchedule, build_optimizer_from_cfg,
+                      build_scheduler_from_cfg)
 
 __all__ = ["build_optimizer_from_cfg", "build_scheduler_from_cfg"]

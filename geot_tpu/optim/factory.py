@@ -162,12 +162,85 @@ def build_optimizer_from_cfg(params_or_model=None, lr: float = 1e-3,
     return tx
 
 
+class PlateauSchedule:
+    """ReduceLROnPlateau (reference ``scheduler_factory.py:101`` via timm
+    ``plateau_lr.py:12``): decay the lr by ``decay_rate`` whenever the
+    monitored metric fails to improve for ``patience_t`` consecutive
+    validations, with linear warmup and a post-decay cooldown.
+
+    Host-side stateful object with the same calling surface as the functional
+    schedules — ``schedule(epoch)`` returns the lr — plus ``note_metric(m)``
+    which the trainer calls after each validation (the reference's
+    ``scheduler.step(epoch, metric)``).  ``state_dict``/``load_state_dict``
+    allow resume.
+    """
+
+    def __init__(self, lr, decay_rate=0.1, patience_t=10, threshold=1e-4,
+                 cooldown_t=0, warmup_epochs=0, warmup_lr=1e-6, min_lr=0.0,
+                 mode="max"):
+        self.base_lr = float(lr)
+        self.decay_rate = float(decay_rate)
+        self.patience = int(patience_t)
+        self.threshold = float(threshold)
+        self.cooldown_t = int(cooldown_t)
+        self.warmup_epochs = int(warmup_epochs)
+        self.warmup_lr = float(warmup_lr)
+        self.min_lr = float(min_lr)
+        self.mode = mode
+        self.cur = float(lr)
+        self.best = None
+        self.bad = 0
+        self.cooldown = 0
+
+    def _is_better(self, metric):
+        # torch ReduceLROnPlateau rel-threshold comparison
+        if self.mode == "max":
+            return metric > self.best * (1.0 + self.threshold) if self.best > 0 \
+                else metric > self.best + self.threshold
+        return metric < self.best * (1.0 - self.threshold) if self.best > 0 \
+            else metric < self.best - self.threshold
+
+    def note_metric(self, metric):
+        metric = float(metric)
+        if self.best is None or self._is_better(metric):
+            self.best = metric
+            self.bad = 0
+            return
+        if self.cooldown > 0:
+            self.cooldown -= 1
+            return
+        self.bad += 1
+        if self.bad > self.patience:
+            self.cur = max(self.cur * self.decay_rate, self.min_lr)
+            self.bad = 0
+            self.cooldown = self.cooldown_t
+
+    def __call__(self, epoch, metric=None):
+        if metric is not None:
+            self.note_metric(metric)
+        if self.warmup_epochs > 0 and epoch < self.warmup_epochs:
+            return self.warmup_lr + (self.base_lr - self.warmup_lr) \
+                * epoch / self.warmup_epochs
+        return self.cur
+
+    def state_dict(self):
+        return {"cur": self.cur, "best": self.best, "bad": self.bad,
+                "cooldown": self.cooldown}
+
+    def load_state_dict(self, sd):
+        self.cur = sd["cur"]
+        self.best = sd["best"]
+        self.bad = sd["bad"]
+        self.cooldown = sd["cooldown"]
+
+
 def build_scheduler_from_cfg(cfg, optimizer=None):
     """Epoch -> lr function (reference ``scheduler_factory.py:12-60``).
 
-    Supported ``cfg.sched``: multistep, step, cosine, tanh, poly, none; with
-    ``warmup_epochs``/``warmup_lr``.  The reference's plateau scheduler is
-    metric-driven and host-side — see ``engine.train`` for its equivalent.
+    Supported ``cfg.sched``: multistep, step, cosine, tanh, poly, plateau,
+    none; with ``warmup_epochs``/``warmup_lr``.  ``plateau`` returns a
+    stateful :class:`PlateauSchedule` (metric fed by the trainer after each
+    validation).
     """
     cfg = dict(cfg)
     sched = cfg.get("sched", "multistep")
@@ -213,6 +286,14 @@ def build_scheduler_from_cfg(cfg, optimizer=None):
         def schedule(epoch):
             t = min(max(epoch - warmup_epochs, 0) / max(epochs - warmup_epochs, 1), 1.0)
             return (lr - min_lr) * ((1 - t) ** power) + min_lr
+    elif sched == "plateau":
+        return PlateauSchedule(
+            lr, decay_rate=float(cfg.get("decay_rate", 0.1)),
+            patience_t=int(cfg.get("patience_epochs", 10)),
+            threshold=float(cfg.get("plateau_threshold", 1e-4)),
+            cooldown_t=int(cfg.get("cooldown_epochs", 0) or 0),
+            warmup_epochs=warmup_epochs, warmup_lr=warmup_lr, min_lr=min_lr,
+            mode=cfg.get("plateau_mode", "max"))
     elif sched in ("none", None):
         def schedule(epoch):
             return lr

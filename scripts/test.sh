@@ -5,4 +5,9 @@
 export PALLAS_AXON_POOL_IPS=
 export JAX_PLATFORMS=cpu
 export XLA_FLAGS="--xla_force_host_platform_device_count=8"
-exec python -m pytest "${@:-tests/ -x -q}"
+# Default args must be set as separate words — "${@:-tests/ -x -q}" expands
+# to ONE word and pytest then collects zero tests while exiting 0.
+if [ "$#" -eq 0 ]; then
+  set -- tests/ -x -q
+fi
+exec python -m pytest "$@"

@@ -18,14 +18,17 @@ REFERENCE_MODELS = [
     "PointTransformer_seg_cluster", "PointTransformer_seg_classifier",
     "PointTransformer_seg_T", "sig_t", "sig_t_mean",
     "PointTransformer_seg_2classifier",
-    "BaseSeg", "WholePartSeg", "WholePartSeg_ntm", "Ins_T", "Ins_T_mean",
+    "BaseSeg", "BasePartSeg", "DistillBaseSeg", "WholePartSeg",
+    "WholePartSeg_ntm", "Ins_T", "Ins_T_mean",
     "VariableSeg", "SegHead", "VariableSegHead", "MultiSegHead",
     "BaseCls", "DistillCls",
     "PointNet2Encoder", "PointNet2Decoder", "PointNet2PartDecoder",
     "PointNet2GenEncoder",
-    "PointMLPEncoder", "PointMLP", "PointMLPPartSegmentor",
+    "PointMLPEncoder", "PointMLPEncoderV2", "PointMLPGenEncoder", "PointMLP",
+    "PointMLPPartSegmentor",
     "DGCNN", "DGCNNGenEncoder",
     "ViewGenBase", "ViewTransformer", "ViewDecoder", "ViewDecoder_big",
+    "ViewDecoder_ds",
 ]
 
 REFERENCE_LOSSES = [
