@@ -31,20 +31,31 @@ from .steps import make_cm_step, make_eval_step, make_semi_step, make_supervised
 from .writer import SummaryWriter
 
 
-def _model_batch(batch, jnp):
-    return {"pos": jnp.asarray(batch["pos"]), "x": jnp.asarray(batch["x"]),
-            "cls": jnp.asarray(batch["cls"]), "y": jnp.asarray(batch["y"]),
-            "class_weights": jnp.asarray(batch["class_weights"])}
+def _model_batch(batch, put):
+    return put({k: batch[k] for k in ("pos", "x", "cls", "y", "class_weights")})
 
 
-def _semi_batch(batch, jnp):
-    out = {}
-    for k in ("pos_w", "x_w", "cls_w", "pos_s", "x_s", "cls_s", "raw_pos", "y"):
-        out[k] = jnp.asarray(batch[k])
-    return out
+def _semi_batch(batch, put):
+    return put({k: batch[k]
+                for k in ("pos_w", "x_w", "cls_w", "pos_s", "x_s", "cls_s",
+                          "raw_pos", "y")})
 
 
-def cal_mean_feature(cm_step, variables, loader, num_classes):
+def make_device_put(mesh):
+    """Host->device batch placement. With a mesh, numpy batches are laid out
+    dp-sharded directly (no device-0 staging hop); without one, plain
+    ``jnp.asarray``. The dp-sharded layout replaces the reference's
+    ``DistributedSampler`` + DDP input scatter (``train.py:159-166``)."""
+    import jax
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return lambda d: jax.tree_util.tree_map(jnp.asarray, d)
+    from ..parallel import shard_batch
+    return lambda d: shard_batch(d, mesh)
+
+
+def cal_mean_feature(cm_step, variables, loader, num_classes, put):
     """Bootstrap pass for the class-mean softmax matrix
     (reference ``train.py:868-897``; the reference's ``logits[target]`` row
     indexing bug is fixed to the intended class-conditional mean)."""
@@ -53,7 +64,7 @@ def cal_mean_feature(cm_step, variables, loader, num_classes):
     total = np.zeros((num_classes, num_classes), dtype=np.float64)
     counts = np.zeros((num_classes,), dtype=np.float64)
     for batch in loader:
-        sums, cnts = cm_step(variables, _model_batch(batch, jnp))
+        sums, cnts = cm_step(variables, _model_batch(batch, put))
         total += np.asarray(sums, dtype=np.float64)
         counts += np.asarray(cnts, dtype=np.float64)
     cm = total / np.maximum(counts[:, None], 1.0)
@@ -64,13 +75,48 @@ def main(cfg: EasyConfig) -> dict:
     import jax
     import jax.numpy as jnp
 
-    setup_logger_dist(cfg.get("log_path"), 0, name="geot_tpu")
+    # Multi-host: the reference spawns one DDP process per GPU
+    # (``train.py:957-963`` mp.spawn + init_process_group); on TPU pods the
+    # analog is one process per host joined via jax.distributed.
+    if cfg.get("jax_distributed"):
+        jax.distributed.initialize()
+
+    setup_logger_dist(cfg.get("log_path"), jax.process_index(), name="geot_tpu")
     logger = logging.getLogger()
     set_random_seed(cfg.get("seed", 0))
     writer = SummaryWriter(cfg.get("run_dir")) if cfg.get("run_dir") else None
 
     num_classes = int(cfg.num_classes)
     semi_mode = "dataset_u" in cfg and "criterion_u_args" in cfg
+
+    # ---- device mesh -----------------------------------------------------
+    # DDP + SyncBN (reference ``train.py:159-166``) becomes: one dp(xtp) mesh,
+    # state + batches GSPMD-sharded; gradient all-reduce and global batch-norm
+    # statistics fall out of the sharded jit with no communication code.
+    devices = jax.devices()
+    mesh = None
+    distributed = cfg.get("distributed", "auto")
+    if len(devices) > 1 and distributed is not False:
+        from ..parallel import make_mesh, shard_state
+        tp = int(cfg.get("tp", 1) or 1)
+        dp = len(devices) // tp
+        bs = int(cfg.get("batch_size_l", cfg.get("batch_size", 0)) or 0)
+        if distributed == "auto" and bs:
+            # shrink dp to the largest divisor of the train batch so every
+            # device holds whole samples (replicated compute helps nobody)
+            while dp > 1 and bs % dp:
+                dp -= 1
+        if dp * tp > 1:
+            mesh = make_mesh(devices[:dp * tp], dp=dp, tp=tp)
+            logger.info(f"mesh: dp={dp} tp={tp} over {dp * tp}/{len(devices)} "
+                        f"{devices[0].platform} devices, "
+                        f"{jax.process_count()} host(s)")
+            for key in ("batch_size_l", "batch_size_u", "batch_size"):
+                b = cfg.get(key)
+                if b and int(b) % dp != 0:
+                    logger.warning(f"{key}={b} not divisible by dp={dp}; those "
+                                   "batches will be replicated, not dp-sharded")
+    put = make_device_put(mesh)
 
     # ---- data ----------------------------------------------------------
     val_loader = build_dataloader_from_cfg(
@@ -96,7 +142,7 @@ def main(cfg: EasyConfig) -> dict:
     model = build_model_from_cfg(cfg.model)
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
     sample = next(iter(train_loader_l))
-    init_batch = _model_batch(sample, jnp)
+    init_batch = _model_batch(sample, put)
     init = jax.jit(model.init, static_argnames=())
     variables = init({"params": rng, "dropout": jax.random.fold_in(rng, 1)},
                      init_batch)
@@ -135,7 +181,7 @@ def main(cfg: EasyConfig) -> dict:
         semi_step = make_semi_step(model, model_t, t_predictor, tx, t_tx, cfg)
         cm_step = make_cm_step(model)
         state = state.replace(cm=cal_mean_feature(
-            cm_step, state.variables, train_loader_l, num_classes))
+            cm_step, state.variables, train_loader_l, num_classes, put))
     else:
         state = TrainState.create(variables, tx)
         semi_step = None
@@ -155,6 +201,11 @@ def main(cfg: EasyConfig) -> dict:
         start_epoch = int(ckpt_epoch) + 1
         best.update(extra or {})
         logger.info(f"resumed from {pretrained} at epoch {ckpt_epoch}")
+
+    if mesh is not None:
+        # place params + optimizer moments by the tp rules, replicate the
+        # rest; gradients/batch-stat reductions become global under jit
+        state = shard_state(state, mesh)
 
     from .profiler import StepTimer
     timer = StepTimer(os.path.join(cfg.run_dir, "step_times.jsonl")
@@ -176,8 +227,8 @@ def main(cfg: EasyConfig) -> dict:
                 except StopIteration:
                     u_iter = iter(train_loader_u)
                     batch_u = next(u_iter)
-                state, metrics = semi_step(state, _model_batch(batch_l, jnp),
-                                           _semi_batch(batch_u, jnp), lr,
+                state, metrics = semi_step(state, _model_batch(batch_l, put),
+                                           _semi_batch(batch_u, put), lr,
                                            use_teacher)
                 for k in meters:
                     meters[k].update(float(metrics[k]))
@@ -189,7 +240,7 @@ def main(cfg: EasyConfig) -> dict:
                                    opt_state=state.opt_state, step=state.step) \
                 if semi_mode else state
             for batch_l in train_loader_l:
-                sup_state, metrics = sup_step(sup_state, _model_batch(batch_l, jnp), lr)
+                sup_state, metrics = sup_step(sup_state, _model_batch(batch_l, put), lr)
                 for k in meters:
                     meters[k].update(float(metrics[k]))
             if semi_mode:

@@ -75,29 +75,23 @@ def shard_state(state: Any, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, state)
 
 
-def reduce_tensor(x, axis_name: str = "dp"):
-    """Cross-replica mean — the jit-internal equivalent of the reference's
-    ``reduce_tensor`` all-reduce (``openpoints/utils/dist_utils.py:30``).
-    Only meaningful inside shard_map/pmap with ``axis_name`` bound; under
-    plain GSPMD-sharded jit, reductions are already global."""
-    import jax
-
-    return jax.lax.pmean(x, axis_name)
-
-
-def gather_tensor(x, axis_name: str = "dp"):
-    """Cross-replica concat — equivalent of ``gather_tensor``
-    (``dist_utils.py:40``)."""
-    import jax
-
-    return jax.lax.all_gather(x, axis_name, tiled=True)
+# NOTE: the reference's ``reduce_tensor``/``gather_tensor`` all-reduce helpers
+# (``openpoints/utils/dist_utils.py:30-44``) have no equivalent here on
+# purpose: under GSPMD-sharded jit, gradient/metric reductions over the dp
+# axis are already global — XLA inserts the collectives.
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard every array's leading (batch) axis over dp."""
+    """Shard every array's leading (batch) axis over dp.
+
+    Arrays whose leading dim is not divisible by the dp size (e.g. a short
+    final eval batch) are replicated instead — correct, just without the dp
+    speedup for that array.
+    """
+    dp = mesh.shape["dp"]
 
     def place(leaf):
-        if getattr(leaf, "ndim", 0) >= 1:
+        if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] % dp == 0:
             return jax.device_put(
                 leaf, NamedSharding(mesh, P("dp", *([None] * (leaf.ndim - 1)))))
         return jax.device_put(leaf, NamedSharding(mesh, P()))

@@ -1,0 +1,99 @@
+"""Data-parallel numerical parity: the dp=8-sharded semi step must match the
+single-device step bit-for-bit-ish (same seed, loss to ~1e-5).
+
+This is the TPU-native replacement for the reference's DDP + SyncBN stack
+(``examples/segmentation/train.py:159-166``, ``openpoints/utils/dist_utils.py``):
+under GSPMD the gradient all-reduce and global batch-norm statistics are
+implicit in the sharded jit, so parity with the unsharded step IS the SyncBN
+correctness test.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geot_tpu.core.config import EasyConfig
+from geot_tpu.engine.state import SemiTrainState
+from geot_tpu.engine.steps import make_semi_step
+from geot_tpu.models import build_model_from_cfg
+from geot_tpu.optim import build_optimizer_from_cfg
+from geot_tpu.parallel import make_mesh, shard_batch, shard_state
+
+SEG_ARGS = dict(
+    NAME="PointTransformer_seg_T", trans_dim=48, depth=3, num_heads=4,
+    group_size=8, num_group=32, encoder_dims=32, nclasses=17,
+    drop_path_rate=0.0, downsample_targets=[128, 64, 32],
+    extract_layers=[1, 2, 3])
+
+B, N = 8, 256
+
+
+def _setup():
+    cfg = EasyConfig({
+        "criterion_args": {"NAME": "Poly1FocalLoss"},
+        "criterion_u_args": {"NAME": "Poly1FocalLoss_U_corr"},
+        "num_classes": 17, "grad_norm_clip": 1.0,
+        "threshold": 0.0, "unsupervised_loss_weight": 1.0,
+        "lambma": 0.9, "geo_lambma": 0.999, "ema_t_decay": 0.999,
+        "use_3d_loss": True, "threed_k": 8, "threed_sigma": 1.0,
+        "threed_loss_weight": 0.1,
+        "batch_size_l": B, "batch_size_u": B, "seed": 0,
+    })
+    model = build_model_from_cfg({"NAME": "WholePartSeg",
+                                  "segmentor_args": dict(SEG_ARGS)})
+    t_predictor = build_model_from_cfg(
+        {"NAME": "Ins_T_mean", "T_args": {"NAME": "sig_t_mean", "nclasses": 17}})
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+
+    pos_l = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+    batch_l = {"pos": pos_l, "x": pos_l, "cls": jnp.zeros((B, 1), jnp.int32),
+               "y": jnp.asarray(rng.integers(0, 17, (B, N)).astype(np.int32)),
+               "class_weights": jnp.full((B, 17), 1 / 17)}
+    pos_w = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+    pos_s = pos_w + 0.01
+    batch_u = {"pos_w": pos_w, "x_w": pos_w,
+               "cls_w": jnp.zeros((B, 1), jnp.int32),
+               "pos_s": pos_s, "x_s": pos_s,
+               "cls_s": jnp.zeros((B, 1), jnp.int32),
+               "raw_pos": pos_w, "y": jnp.zeros((B, N), jnp.int32)}
+
+    variables = jax.jit(model.init)(
+        {"params": key, "dropout": jax.random.fold_in(key, 1)}, batch_l)
+    t_vars = t_predictor.init(jax.random.fold_in(key, 2),
+                              jnp.full((1, 8, 17), 1 / 17), jnp.eye(17))
+    tx = build_optimizer_from_cfg(None, lr=1e-3, NAME="adamw")
+    t_tx = build_optimizer_from_cfg(None, lr=1e-3, NAME="adamw")
+    state = SemiTrainState.create(variables, tx, t_vars, t_tx, 17,
+                                  jax.random.fold_in(key, 3),
+                                  contrast_dim=SEG_ARGS["trans_dim"])
+    step = make_semi_step(model, model, t_predictor, tx, t_tx, cfg)
+    return state, batch_l, batch_u, step
+
+
+def _run(shard):
+    state, batch_l, batch_u, step = _setup()
+    if shard:
+        mesh = make_mesh(jax.devices()[:8], dp=8, tp=1)
+        state = shard_state(state, mesh)
+        batch_l = shard_batch(batch_l, mesh)
+        batch_u = shard_batch(batch_u, mesh)
+    new_state, metrics = step(state, batch_l, batch_u,
+                              jnp.asarray(1e-3), True)
+    pnorm = jax.jit(lambda p: jnp.sqrt(sum(
+        jnp.sum(jnp.square(x.astype(jnp.float32)))
+        for x in jax.tree_util.tree_leaves(p))))(new_state.params)
+    return float(metrics["loss"]), float(metrics["sup_loss"]), float(pnorm)
+
+
+@pytest.mark.slow
+def test_dp8_semi_step_matches_single_device():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (run via scripts/test.sh)")
+    loss_1, sup_1, pnorm_1 = _run(shard=False)
+    loss_8, sup_8, pnorm_8 = _run(shard=True)
+    assert np.isfinite(loss_1) and np.isfinite(loss_8)
+    assert loss_8 == pytest.approx(loss_1, abs=1e-5)
+    assert sup_8 == pytest.approx(sup_1, abs=1e-5)
+    # post-update parameters agree too (gradient all-reduce parity)
+    assert pnorm_8 == pytest.approx(pnorm_1, rel=1e-5)
