@@ -192,12 +192,14 @@ class DGCNNPropagation(nn.Module):
         hidden = 4 * self.dim // 3
         h = self._graph_feature(coor_q, f_q, coor, f)
         h = nn.Dense(hidden, use_bias=False, kernel_init=xavier, dtype=self.dtype, name="layer1_conv")(h)
-        h = nn.GroupNorm(num_groups=4, epsilon=1e-5, name="layer1_gn")(h)
+        h = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=self.dtype,
+                         name="layer1_gn")(h)
         h = nn.leaky_relu(h, negative_slope=0.2)
         h = jnp.max(h, axis=2)
         h2 = self._graph_feature(coor_q, h, coor_q, h)
         h2 = nn.Dense(self.dim, use_bias=False, kernel_init=xavier, dtype=self.dtype, name="layer2_conv")(h2)
-        h2 = nn.GroupNorm(num_groups=4, epsilon=1e-5, name="layer2_gn")(h2)
+        h2 = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=self.dtype,
+                          name="layer2_gn")(h2)
         h2 = nn.leaky_relu(h2, negative_slope=0.2)
         return jnp.max(h2, axis=2)
 
@@ -289,7 +291,7 @@ class _PointTransformerSegBase(nn.Module):
                                 extract_layers=tuple(self.extract_layers),
                                 dtype=self.dtype,
                                 name="blocks")(tokens, pos, training=training)
-        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
         taps = [norm(t) for t in taps]
 
         # jaw one-hot (mandible/maxillary) broadcast to every point

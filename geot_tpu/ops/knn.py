@@ -96,7 +96,10 @@ def knn(query: jnp.ndarray, support: jnp.ndarray, k: int, tile: int = _TILE,
             and jax.default_backend() == "tpu"):
         from .pallas_knn import knn_small_k_pallas
 
-        d2, idx = knn_small_k_pallas(query, support, k)
+        # cs=4096 measured fastest at 16k x 8k (fewer per-chunk extraction
+        # fixed costs); smaller supports keep the 2048 default
+        cs = 4096 if support.shape[1] >= 4096 else 2048
+        d2, idx = knn_small_k_pallas(query, support, k, cs=cs)
     else:
         f = functools.partial(_knn_single, k=k, tile=tile, exact=exact,
                               recall_target=recall_target)

@@ -70,6 +70,148 @@ def _fps_kernel(xyz_ref, lut_ref, out_ref, mind_ref, *, npoint, n_valid):
     lax.fori_loop(1, npoint, body, jnp.int32(0))
 
 
+SENT = 1 << 30  # padded-slot sentinel original index (sorts above any real id)
+
+
+def _fps_bucket_kernel(xyz_ref, oidx_ref, box_ref, out_ref,
+                       mind_ref, bmax_ref, bargi_ref, *, npoint, nb):
+    """Bucket-pruned exact FPS (QuickFPS redesigned for vreg granularity).
+
+    Points are Morton-sorted; bucket b = one (8, 128) vreg = 1024 points with
+    a tight bounding box.  Per selection step the (1, LANE) box-distance row
+    is compared against the per-bucket running max of min-distances: a bucket
+    whose box is farther than its max CANNOT change (min(mind, d2) = mind for
+    every point), so its distance update is skipped exactly.  The skip mask is
+    packed into one int32 bitmask scalar (one lane-weighted sum) so each
+    bucket costs ~3 scalar ops when skipped.
+
+    State rows (VMEM): bmax (1, LANE) per-bucket max of mind; bargi (1, LANE)
+    the smallest ORIGINAL index attaining that max (tie key).  Global argmax =
+    lexicographic (max desc, orig idx asc) over the rows — reference tie
+    semantics (``sampling_cuda_kernel.cu:15``: ties to the smallest index)
+    survive the sort because ties are broken on original ids, not positions.
+    """
+    lane = lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    oidx_all = oidx_ref[0]
+    mind_ref[:] = jnp.where(oidx_all < SENT, 1e10, -1.0)
+    bmax_ref[:] = jnp.where(lane < nb, 1e30, -2.0)   # force round-1 update
+    bargi_ref[:] = jnp.full((1, LANE), SENT, jnp.int32)
+    out_ref[0] = jnp.zeros_like(out_ref[0])          # idx[0] = 0 included
+
+    # step-0 winner is original index 0: one-time global masked extraction
+    w0 = oidx_all == 0
+    px0 = jnp.sum(jnp.where(w0, xyz_ref[0, 0], 0.0))
+    py0 = jnp.sum(jnp.where(w0, xyz_ref[0, 1], 0.0))
+    pz0 = jnp.sum(jnp.where(w0, xyz_ref[0, 2], 0.0))
+
+    xmin = box_ref[0, 0:1, :]
+    ymin = box_ref[0, 1:2, :]
+    zmin = box_ref[0, 2:3, :]
+    xmax = box_ref[0, 3:4, :]
+    ymax = box_ref[0, 4:5, :]
+    zmax = box_ref[0, 5:6, :]
+    bitw = jnp.where(lane < nb,
+                     lax.shift_left(1, jnp.minimum(lane, 30)), 0)
+
+    def body(j, carry):
+        px, py, pz = carry
+        dx = jnp.maximum(jnp.maximum(xmin - px, px - xmax), 0.0)
+        dy = jnp.maximum(jnp.maximum(ymin - py, py - ymax), 0.0)
+        dz = jnp.maximum(jnp.maximum(zmin - pz, pz - zmax), 0.0)
+        d2box = dx * dx + dy * dy + dz * dz                     # (1, LANE)
+        # 1e-5 slack >> f32 rounding of the two distance computations, so a
+        # skipped bucket provably cannot change; borderline buckets just
+        # update unnecessarily (identical results either way)
+        need = d2box * 0.99999 < bmax_ref[:]
+        bits = jnp.sum(jnp.where(need, bitw, 0))
+
+        for b in range(nb):
+            @pl.when((lax.shift_right_logical(bits, b) & 1) == 1)
+            def _(b=b):
+                r0 = 8 * b
+                x = xyz_ref[0, 0, r0:r0 + 8, :]
+                y = xyz_ref[0, 1, r0:r0 + 8, :]
+                z = xyz_ref[0, 2, r0:r0 + 8, :]
+                d2 = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
+                m = jnp.minimum(mind_ref[r0:r0 + 8, :], d2)
+                mind_ref[r0:r0 + 8, :] = m
+                bm = jnp.max(m)
+                oi = oidx_ref[0, r0:r0 + 8, :]
+                bai = jnp.min(jnp.where(m == bm, oi, SENT))
+                bmax_ref[:] = jnp.where(lane == b, bm, bmax_ref[:])
+                bargi_ref[:] = jnp.where(lane == b, bai, bargi_ref[:])
+
+        bmax = bmax_ref[:]
+        bargi = bargi_ref[:]
+        mx = jnp.max(bmax)
+        cand = jnp.where(bmax == mx, bargi, SENT)
+        best = jnp.min(cand)
+        jb = jnp.min(jnp.where((bmax == mx) & (bargi == best), lane, LANE))
+        r0 = pl.multiple_of(jb * 8, 8)
+        wi = oidx_ref[0, pl.ds(r0, 8), :] == best
+        nx = jnp.sum(jnp.where(wi, xyz_ref[0, 0, pl.ds(r0, 8), :], 0.0))
+        ny = jnp.sum(jnp.where(wi, xyz_ref[0, 1, pl.ds(r0, 8), :], 0.0))
+        nz = jnp.sum(jnp.where(wi, xyz_ref[0, 2, pl.ds(r0, 8), :], 0.0))
+
+        orow = j // LANE
+        col = j % LANE
+        cur = out_ref[0, pl.ds(orow, 1), :]
+        out_ref[0, pl.ds(orow, 1), :] = jnp.where(lane == col, best, cur)
+        return nx, ny, nz
+
+    lax.fori_loop(1, npoint, body, (px0, py0, pz0))
+
+
+@functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
+def fps_bucket_pallas(xyz: jnp.ndarray, npoint: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """(B, N, 3) -> (B, npoint) int32 ORIGINAL indices; bit-identical to
+    ``fps_pallas``/``ops.fps`` but with Morton-bucket pruning (needs
+    ceil(N/1024) <= 30 buckets for the int32 skip bitmask)."""
+    from .morton import spatial_sort
+
+    B, N, _ = xyz.shape
+    nb = -(-N // CHUNK)
+    assert nb <= 30, "bitmask pruning supports up to 30 buckets (30k points)"
+    Np = nb * CHUNK
+    R = -(-npoint // LANE)
+
+    sx, order = spatial_sort(xyz.astype(jnp.float32))
+    sxp = jnp.pad(sx, ((0, 0), (0, Np - N), (0, 0)), constant_values=1e9)
+    oidx = jnp.pad(order, ((0, 0), (0, Np - N)), constant_values=SENT)
+
+    pts_b = sxp.reshape(B, nb, CHUNK, 3)
+    validb = (oidx < SENT).reshape(B, nb, CHUNK, 1)
+    bmin = jnp.min(jnp.where(validb, pts_b, 4e9), axis=2)       # (B, nb, 3)
+    bmax = jnp.max(jnp.where(validb, pts_b, -4e9), axis=2)
+    boxes = jnp.concatenate([bmin, bmax], axis=-1)              # (B, nb, 6)
+    boxr = jnp.transpose(boxes, (0, 2, 1))                      # (B, 6, nb)
+    boxr = jnp.pad(boxr, ((0, 0), (0, 2), (0, LANE - nb)),
+                   constant_values=1e9)
+
+    xyz_t = jnp.swapaxes(sxp, 1, 2).reshape(B, 3, nb * SUB, LANE)
+    oidx_r = oidx.reshape(B, nb * SUB, LANE)
+
+    out = pl.pallas_call(
+        functools.partial(_fps_bucket_kernel, npoint=npoint, nb=nb),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 3, nb * SUB, LANE), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, nb * SUB, LANE), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, SUB, LANE), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, R, LANE), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, R, LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((nb * SUB, LANE), jnp.float32),
+                        pltpu.VMEM((1, LANE), jnp.float32),
+                        pltpu.VMEM((1, LANE), jnp.int32)],
+        interpret=interpret,
+    )(xyz_t, oidx_r, boxr)
+    return out.reshape(B, R * LANE)[:, :npoint]
+
+
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
 def fps_pallas(xyz: jnp.ndarray, npoint: int,
                interpret: bool = False) -> jnp.ndarray:
