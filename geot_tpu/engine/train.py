@@ -211,11 +211,36 @@ def main(cfg: EasyConfig) -> dict:
     timer = StepTimer(os.path.join(cfg.run_dir, "step_times.jsonl")
                       if cfg.get("run_dir") else None)
 
+    # epoch-scalar tags, named exactly like the reference's writer calls
+    # (``train.py:307-330``) -> key in the jitted step's metrics dict
+    ref_tags = {"train_loss": "loss", "train_loss_l": "sup_loss",
+                "train_loss_u": "unsup_loss", "th_percentage": "over_th",
+                "train_over_th_acc": "pseudo_acc", "teacher_acc": "teacher_acc",
+                "student_acc": "student_acc", "over_th_wobg": "over_th_wobg",
+                "over_acc_wobg": "over_acc_wobg",
+                "manifold_loss_feat": "feat_loss",
+                "insT_identity_loss": "identity_loss",
+                "insT_threed_loss": "threed_loss"}
+    cls_tags = {"train_over_th_acc_class": "pseudo_acc_classwise",
+                "train_over_th_num_class": "over_th_classwise",
+                "train_over_th_recall_class": "over_th_recall_classwise"}
+
     for epoch in range(start_epoch, int(cfg.epochs) + 1):
         train_loader_l.set_epoch(epoch)
         lr = jnp.asarray(schedule(epoch), dtype=jnp.float32)
         meters = {k: AverageMeter() for k in ("loss", "sup_loss", "unsup_loss")}
+        ep_sum, ep_n = {}, 0   # epoch means of EVERY step metric (incl vectors)
         t0 = time.time()
+
+        def _accum(metrics):
+            nonlocal ep_n
+            # one D2H transfer for the whole metrics dict — per-key float()
+            # would round-trip the axon tunnel once per scalar
+            host = jax.device_get(metrics)
+            for k, v in host.items():
+                ep_sum[k] = ep_sum.get(k, 0.0) + np.asarray(v, dtype=np.float64)
+            ep_n += 1
+            return host
 
         if semi_mode and epoch > supervised_epochs:
             train_loader_u.set_epoch(epoch)
@@ -230,8 +255,9 @@ def main(cfg: EasyConfig) -> dict:
                 state, metrics = semi_step(state, _model_batch(batch_l, put),
                                            _semi_batch(batch_u, put), lr,
                                            use_teacher)
+                host = _accum(metrics)
                 for k in meters:
-                    meters[k].update(float(metrics[k]))
+                    meters[k].update(float(host[k]))
                 timer.tick(int(state.step), epoch=epoch)
         else:
             # supervised phase trains the plain TrainState view of the state
@@ -241,8 +267,9 @@ def main(cfg: EasyConfig) -> dict:
                 if semi_mode else state
             for batch_l in train_loader_l:
                 sup_state, metrics = sup_step(sup_state, _model_batch(batch_l, put), lr)
+                host = _accum(metrics)
                 for k in meters:
-                    meters[k].update(float(metrics[k]))
+                    meters[k].update(float(host[k]))
             if semi_mode:
                 state = state.replace(params=sup_state.params,
                                       batch_stats=sup_state.batch_stats,
@@ -257,8 +284,15 @@ def main(cfg: EasyConfig) -> dict:
                     f"unsup={meters['unsup_loss'].avg:.5f} "
                     f"({time.time() - t0:.1f}s)")
         if writer:
-            writer.add_scalar("train_loss", meters["loss"].avg, epoch)
+            ep_mean = {k: v / max(ep_n, 1) for k, v in ep_sum.items()}
             writer.add_scalar("lr", float(lr), epoch)
+            for tag, key in ref_tags.items():
+                if key in ep_mean:
+                    writer.add_scalar(tag, float(ep_mean[key]), epoch)
+            for tag, key in cls_tags.items():
+                if key in ep_mean:
+                    for ji, v in enumerate(np.ravel(ep_mean[key])):
+                        writer.add_scalar(f"{tag}_{ji}", float(v), epoch)
 
         if epoch % int(cfg.get("val_freq", 250)) == 0 or epoch == int(cfg.epochs):
             res = validate(eval_step, state.variables, val_loader, cfg, logger)
@@ -272,6 +306,13 @@ def main(cfg: EasyConfig) -> dict:
             if writer:
                 for k, v in res.items():
                     writer.add_scalar(f"val_{k}", v, epoch)
+                # reference tag names (``train.py:308-313``)
+                writer.add_scalar("val_miou", res["whole_miou"], epoch)
+                writer.add_scalar("val_dsc", res["whole_dsc"], epoch)
+                writer.add_scalar("val_acc", res["whole_acc"], epoch)
+                writer.add_scalar("best_val_miou", best["miou"], epoch)
+                writer.add_scalar("best_val_dsc", best["dsc"], epoch)
+                writer.add_scalar("best_val_acc", best["acc"], epoch)
             if cfg.get("ckpt_dir"):
                 save_checkpoint(cfg, state, epoch,
                                 additional_dict=best, is_best=is_best,

@@ -1,11 +1,12 @@
 """Experiment observability.
 
 Reference: torch ``SummaryWriter`` + wandb (``train.py:122``,
-``openpoints/utils/wandb.py:30``).  Neither tensorboard nor wandb is available
-in this image, so metrics are appended to ``scalars.jsonl`` in the run dir
-(one ``{"tag", "value", "step", "ts"}`` line each — trivially greppable and
-plottable), and the ``Wandb`` facade degrades to the same sink when the wandb
-package is missing.
+``openpoints/utils/wandb.py:30``).  Scalars always go to ``scalars.jsonl`` in
+the run dir (one ``{"tag", "value", "step", "ts"}`` line each — greppable and
+plottable with nothing installed); when a TensorBoard writer is importable
+(tensorboardX or torch.utils.tensorboard, both in this image) real event
+files are ALSO written under ``<run_dir>/tb``.  The ``Wandb`` facade becomes
+real wandb when the package + login exist, and degrades to a no-op otherwise.
 """
 from __future__ import annotations
 
@@ -15,18 +16,39 @@ import time
 from typing import Optional
 
 
+def _make_tb(log_dir: str):
+    tb_dir = os.path.join(log_dir, "tb")
+    try:
+        from tensorboardX import SummaryWriter as TBWriter
+
+        return TBWriter(logdir=tb_dir)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        from torch.utils.tensorboard import SummaryWriter as TBWriter
+
+        return TBWriter(log_dir=tb_dir)
+    except Exception:  # noqa: BLE001
+        return None
+
+
 class SummaryWriter:
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, tensorboard: bool = True):
         os.makedirs(log_dir, exist_ok=True)
         self._path = os.path.join(log_dir, "scalars.jsonl")
         self._f = open(self._path, "a", buffering=1)
+        self._tb = _make_tb(log_dir) if tensorboard else None
 
     def add_scalar(self, tag: str, value, step: int):
         self._f.write(json.dumps({"tag": tag, "value": float(value),
                                   "step": int(step), "ts": time.time()}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), int(step))
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class Wandb:

