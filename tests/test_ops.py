@@ -283,3 +283,35 @@ class TestPallasKnnSmallK:
         np.testing.assert_array_equal(np.asarray(i_p)[..., 0],
                                       np.arange(160)[None].repeat(2, 0))
         assert np.all(np.asarray(d_p)[..., 0] == 0.0)
+
+
+class TestEvalShapeThreeNNAgreement:
+    """VERDICT r1 weak-8: the Pallas small-k path (TPU default) and the pure
+    exact path must agree at ``engine/eval.py:_upsample_pred``'s exact shape
+    regime — full-scan queries padded with zeros, the 16k sample as support,
+    queries that coincide with support points (the sample IS a subset of the
+    scan) and duplicated support points (ties)."""
+
+    @pytest.mark.slow
+    def test_pallas_matches_pure_at_eval_shapes(self, rng):
+        from geot_tpu.ops.knn import _knn_single
+        from geot_tpu.ops.pallas_knn import knn_small_k_pallas
+
+        N_support, P_full, bucket = 4000, 5000, 2048  # scaled eval regime
+        full = rng.standard_normal((P_full, 3)).astype(np.float32)
+        # the sample is a subset of the scan + duplicated rows (ties)
+        sample = full[rng.permutation(P_full)[:N_support]].copy()
+        sample[50:60] = sample[40:50]                 # exact duplicates
+        padded_len = -(-P_full // bucket) * bucket
+        query = np.zeros((padded_len, 3), np.float32)  # zero padding like eval
+        query[:P_full] = full
+
+        q = jnp.asarray(query)[None]
+        s = jnp.asarray(sample)[None]
+        d_p, i_p = knn_small_k_pallas(q, s, 3, interpret=True)
+        d_e, i_e = jax.vmap(lambda qq, ss: _knn_single(
+            qq, ss, k=3, tile=2048, exact=True, recall_target=0.99))(q, s)
+        assert np.array_equal(np.asarray(i_p), np.asarray(i_e))
+        # d2 sums differ by the fma association order only (<= 1 ulp)
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_e),
+                                   rtol=3e-7, atol=1e-12)
