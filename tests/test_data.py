@@ -216,3 +216,121 @@ class TestDeterminismAndCutmix:
         assert loader.batch_mixers, "Cutmix should register as a batch mixer"
         batch = next(iter(loader))
         assert batch["pos"].shape == (4, 512, 3)
+
+
+class TestPretrainDatasets:
+    """Behavioural checks of the TAP multi-view pretraining datasets
+    (reference ``tooth_dataset.py:44,171``), synthetic fallback path."""
+
+    def test_tooth_6000_payload(self):
+        from geot_tpu.data.build import build_dataset_from_cfg
+
+        ds = build_dataset_from_cfg({"NAME": "tooth_6000", "n_views": 2,
+                                     "num_points": 512, "split": "train"})
+        d = ds[0]
+        assert d["pos"].shape == (512, 3)
+        assert d["x"].shape == (512, 4)          # pos + height channel
+        assert d["x"][:, 3].min() == 0.0         # height above min
+        assert d["views"].shape == (2, 3, 3)
+        # rotations are orthonormal with det +1
+        for R in d["views"]:
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+            assert np.linalg.det(R) > 0.99
+        assert d["imgs"].ndim == 4 and d["imgs"].shape[0] == 2
+        assert d["imgs"].shape[-1] == 3          # channels-last renders
+
+    def test_tooth_6000_jaw_tables_differ(self):
+        from geot_tpu.data.tooth_pretrain import Tooth6000
+
+        ds = Tooth6000(n_views=1, num_points=64, split="train")
+        assert not np.allclose(ds.rot_lower, ds.rot_upper)
+        assert ds.rot_lower.shape == (12, 3, 3)
+
+    def test_tooth_6000_random_view(self):
+        from geot_tpu.data.tooth_pretrain import Tooth6000
+
+        ds = Tooth6000(n_views=1, num_points=64, split="train",
+                       random_view=True)
+        a = ds[0]["views"]
+        ds.epoch = 1
+        b = ds[0]["views"]
+        assert a.shape == (1, 3, 3) and not np.allclose(a, b)
+
+    def test_tooth_6000_pca_weight_maps(self):
+        from geot_tpu.data.build import build_dataset_from_cfg
+
+        ds = build_dataset_from_cfg({"NAME": "tooth_6000_pca", "n_views": 2,
+                                     "num_points": 256, "split": "train"})
+        d = ds[0]
+        assert d["views"].shape == (2, 3, 3)
+        assert np.array_equal(d["x"], d["pos"])  # pca variant: x is raw pos
+        assert d["weight"].shape == d["imgs"].shape[:3]
+        assert d["weight"].max() <= 1.0 and d["weight"].min() >= 0.0
+
+    def test_finetune_dataset_eval_payload(self):
+        from geot_tpu.data.build import build_dataset_from_cfg
+
+        ds = build_dataset_from_cfg({"NAME": "TeethSegFinetuneDataset",
+                                     "num_points": 256, "split": "val"})
+        d = ds[0]
+        assert d["pos"].shape == (256, 3)
+        assert "points" in d and "center" in d and "scale" in d
+        assert d["class_weights"].shape == (17,)
+
+
+class TestHeritageDatasets:
+    """Behavioural checks of the openpoints-heritage datasets (reference
+    ``shapenetpart.py``, ``shapenet55.py``, ``scanobjectnn.py``), synthetic
+    fallback path."""
+
+    def test_shapenetpart_onehot_features(self):
+        from geot_tpu.data.build import build_dataset_from_cfg
+
+        ds = build_dataset_from_cfg({"NAME": "ShapeNetPart", "num_points": 128,
+                                     "split": "trainval"})
+        d = ds[3]
+        assert d["pos"].shape == (128, 3)
+        assert d["x"].shape == (128, 16)          # per-point category one-hot
+        assert d["x"].sum(-1).max() == 1.0 and (d["x"].sum(0) > 0).sum() == 1
+        assert d["y"].shape == (128,)
+
+    def test_shapenetpart_normal_multihead(self):
+        from geot_tpu.data.build import build_dataset_from_cfg
+
+        ds = build_dataset_from_cfg({"NAME": "ShapeNetPartNormal",
+                                     "num_points": 128, "split": "train",
+                                     "multihead": True})
+        for i in range(4):
+            d = ds[i]
+            seg_num = ds.seg_num[int(d["cls"][0])]
+            assert d["y"].min() >= 0 and d["y"].max() < seg_num
+        assert ds.cls2partembed.shape == (16, 50)
+
+    def test_shapenetpart_curve_payload(self):
+        from geot_tpu.data.build import build_dataset_from_cfg
+
+        ds = build_dataset_from_cfg({"NAME": "ShapeNetPartCurve",
+                                     "num_points": 128, "split": "test"})
+        d = ds[0]
+        assert set(d) >= {"pos", "cls", "y"}
+
+    def test_shapenet_multiview_payload(self):
+        from geot_tpu.data.build import build_dataset_from_cfg
+
+        ds = build_dataset_from_cfg({"NAME": "ShapeNet", "n_views": 2,
+                                     "num_points": 128, "split": "train"})
+        d = ds[0]
+        assert d["x"].shape == (128, 4)           # pos + height channel
+        assert d["views"].shape == (2, 3, 3)
+        assert d["imgs"].shape[0] == 2 and d["imgs"].shape[-1] == 3
+        # unit norm after pc_norm
+        assert np.sqrt((d["pos"] ** 2).sum(-1)).max() <= 1.0 + 1e-5
+
+    def test_scanobjectnn_height_channel(self):
+        from geot_tpu.data.build import build_dataset_from_cfg
+
+        ds = build_dataset_from_cfg({"NAME": "ScanObjectNN",
+                                     "num_points": 128, "split": "train"})
+        d = ds[0]
+        assert d["x"].shape == (128, 4)
+        assert d["x"][:, 3].min() == 0.0
