@@ -1,6 +1,7 @@
 from .registry import Registry, build_from_cfg
 from .config import EasyConfig
-from .metrics import AverageMeter, ConfusionMatrix, get_mious
+from .metrics import (AverageMeter, ConfusionMatrix, IoU_from_confusions,
+                      get_mious, partnet_metrics, shapenetpart_metrics)
 from .logger import setup_logger_dist, generate_exp_directory, resume_exp_directory
 from .random import set_random_seed
 
@@ -11,6 +12,9 @@ __all__ = [
     "AverageMeter",
     "ConfusionMatrix",
     "get_mious",
+    "IoU_from_confusions",
+    "partnet_metrics",
+    "shapenetpart_metrics",
     "setup_logger_dist",
     "generate_exp_directory",
     "resume_exp_directory",

@@ -102,3 +102,80 @@ def seg_metrics_whole(pred: np.ndarray, label: np.ndarray):
     miou = float(np.mean(ious)) if ious else float("nan")
     mdsc = float(np.mean(dscs)) if dscs else float("nan")
     return acc, miou, mdsc
+
+
+def IoU_from_confusions(confusions: np.ndarray) -> np.ndarray:
+    """Per-class IoU from stacked confusion matrices (..., C, C)
+    (reference ``openpoints/utils/metrics.py:236``): absent classes get the
+    row mIoU substituted so later means are unbiased."""
+    confusions = np.asarray(confusions, dtype=np.float64)
+    tp = np.diagonal(confusions, axis1=-2, axis2=-1)
+    tp_fn = confusions.sum(axis=-1)
+    tp_fp = confusions.sum(axis=-2)
+    iou = tp / (tp_fp + tp_fn - tp + 1e-6)
+    absent = tp_fn < 1e-3
+    counts = np.sum(~absent, axis=-1, keepdims=True)
+    miou = iou.sum(axis=-1, keepdims=True) / (counts + 1e-6)
+    return (iou + absent * miou).astype(np.float32)
+
+
+def partnet_metrics(num_classes, num_parts, objects, preds, targets):
+    """PartNet-protocol shape/part mIoU (reference ``metrics.py:179``):
+    ``preds`` are per-shape (num_parts, num_points) logits; part 0 is the
+    ignore/other part and predictions are argmaxed over parts 1.."""
+    shape_iou_tot = np.zeros(num_classes)
+    shape_iou_cnt = np.zeros(num_classes)
+    inter = [np.zeros(num_parts[c]) for c in range(num_classes)]
+    union = [np.full(num_parts[c], 1e-6) for c in range(num_classes)]
+    for obj, pred, gt in zip(objects, preds, targets):
+        obj = int(obj)
+        lab = np.argmax(np.asarray(pred)[1:, :], axis=0) + 1
+        lab[np.asarray(gt) == 0] = 0
+        tot = cnt = 0.0
+        for j in range(1, num_parts[obj]):
+            gm = np.asarray(gt) == j
+            pm = lab == j
+            if gm.any() or pm.any():
+                i = np.sum(gm & pm)
+                u = np.sum(gm | pm)
+                tot += i / u
+                cnt += 1
+                inter[obj][j] += i
+                union[obj][j] += u
+        if cnt:
+            shape_iou_tot[obj] += tot / cnt
+            shape_iou_cnt[obj] += 1
+    ms_iou = [shape_iou_tot[c] / max(shape_iou_cnt[c], 1e-6)
+              for c in range(num_classes)]
+    mp_iou = [float(np.mean(inter[c][1:] / union[c][1:]))
+              for c in range(num_classes)]
+    return ms_iou, mp_iou, float(np.mean(ms_iou)), float(np.mean(mp_iou))
+
+
+def shapenetpart_metrics(num_classes, num_parts, objects, preds, targets,
+                         masks):
+    """ShapeNetPart-protocol accuracy + class/instance-average mIoU
+    (reference ``metrics.py:265``), numpy confusion matrices."""
+    total_correct = total_seen = 0.0
+    confs = []
+    objects = np.asarray(objects, dtype=np.int64)
+    for obj, pred, gt, mask in zip(objects, preds, targets, masks):
+        parts = num_parts[int(obj)]
+        lab = np.argmax(np.asarray(pred), axis=0)[np.asarray(mask)]
+        gt = np.asarray(gt)[np.asarray(mask)]
+        total_correct += np.sum(lab == gt)
+        total_seen += lab.size
+        cm = np.bincount(gt * parts + lab, minlength=parts * parts)
+        confs.append(cm.reshape(parts, parts))
+    obj_mious = []
+    for c in range(num_classes):
+        idx = np.where(objects == c)[0]
+        if len(idx) == 0:
+            continue
+        stacked = np.stack([confs[i] for i in idx])
+        obj_mious.append(np.mean(IoU_from_confusions(stacked), axis=-1))
+    objs_average = [float(np.mean(m)) for m in obj_mious]
+    instance_average = float(np.mean(np.hstack(obj_mious)))
+    class_average = float(np.mean(objs_average))
+    acc = total_correct / max(total_seen, 1e-6)
+    return acc, objs_average, class_average, instance_average

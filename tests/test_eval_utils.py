@@ -2,6 +2,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -50,6 +51,61 @@ def test_save_ply(tmp_path, rng):
     p = save_ply(str(tmp_path / "x.ply"), pts, labels=labels)
     content = open(p).read()
     assert content.startswith("ply") and "element vertex 20" in content
-    paths = vis_multi_points([pts, pts], [labels, labels],
+    # signature now matches the reference: (points, colors=None, labels=None)
+    paths = vis_multi_points([pts, pts], labels=[labels, labels],
                              out_dir=str(tmp_path / "vis"))
     assert all(os.path.exists(q) for q in paths)
+
+
+class TestHeritageMetrics:
+    """PartNet/ShapeNetPart protocol metrics (reference
+    ``openpoints/utils/metrics.py:179,236,265``)."""
+
+    def test_iou_from_confusions_perfect(self):
+        from geot_tpu.core.metrics import IoU_from_confusions
+
+        cm = np.diag([5, 3, 2]).astype(np.float64)[None]
+        iou = IoU_from_confusions(cm)
+        np.testing.assert_allclose(iou, np.ones((1, 3)), atol=1e-4)
+
+    def test_iou_from_confusions_absent_class_substituted(self):
+        from geot_tpu.core.metrics import IoU_from_confusions
+
+        cm = np.array([[[4, 0, 0], [0, 0, 0], [0, 0, 4]]], dtype=np.float64)
+        iou = IoU_from_confusions(cm)
+        # class 1 absent -> gets the row mIoU (1.0) substituted
+        np.testing.assert_allclose(iou[0], [1, 1, 1], atol=1e-4)
+
+    def test_partnet_metrics_perfect_prediction(self):
+        from geot_tpu.core.metrics import partnet_metrics
+
+        rng = np.random.default_rng(0)
+        num_parts = [4, 3]
+        objects = [0, 1, 0]
+        targets = [rng.integers(0, num_parts[o], 64) for o in objects]
+        preds = []
+        for o, t in zip(objects, targets):
+            logit = np.zeros((num_parts[o], 64))
+            logit[t, np.arange(64)] = 10.0
+            preds.append(logit)
+        ms, mp, mms, mmp = partnet_metrics(2, num_parts, objects, preds, targets)
+        assert mms == pytest.approx(1.0)
+        assert mmp == pytest.approx(1.0)
+
+    def test_shapenetpart_metrics_perfect(self):
+        from geot_tpu.core.metrics import shapenetpart_metrics
+
+        rng = np.random.default_rng(0)
+        num_parts = [4, 3]
+        objects = [0, 1]
+        targets = [rng.integers(0, num_parts[o], 64) for o in objects]
+        masks = [np.ones(64, bool) for _ in objects]
+        preds = []
+        for o, t in zip(objects, targets):
+            logit = np.zeros((num_parts[o], 64))
+            logit[t, np.arange(64)] = 10.0
+            preds.append(logit)
+        acc, objs_avg, cls_avg, inst_avg = shapenetpart_metrics(
+            2, num_parts, objects, preds, targets, masks)
+        assert acc == pytest.approx(1.0)
+        assert cls_avg == pytest.approx(1.0) and inst_avg == pytest.approx(1.0)
