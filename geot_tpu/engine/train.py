@@ -225,22 +225,23 @@ def main(cfg: EasyConfig) -> dict:
                 "train_over_th_num_class": "over_th_classwise",
                 "train_over_th_recall_class": "over_th_recall_classwise"}
 
+    host_step = int(jax.device_get(state.step))  # one sync; counts on host
+
     for epoch in range(start_epoch, int(cfg.epochs) + 1):
         train_loader_l.set_epoch(epoch)
         lr = jnp.asarray(schedule(epoch), dtype=jnp.float32)
-        meters = {k: AverageMeter() for k in ("loss", "sup_loss", "unsup_loss")}
-        ep_sum, ep_n = {}, 0   # epoch means of EVERY step metric (incl vectors)
+        # metric accumulation stays ON DEVICE for the whole epoch: any
+        # per-step float()/device_get is a host sync that serialises the
+        # dispatch pipeline (measured: 45 ms/step device but 5.5 s/epoch
+        # wall with per-step fetches — the tunnel round-trip dominates)
+        ep_dev, ep_n = None, 0
         t0 = time.time()
 
         def _accum(metrics):
-            nonlocal ep_n
-            # one D2H transfer for the whole metrics dict — per-key float()
-            # would round-trip the axon tunnel once per scalar
-            host = jax.device_get(metrics)
-            for k, v in host.items():
-                ep_sum[k] = ep_sum.get(k, 0.0) + np.asarray(v, dtype=np.float64)
+            nonlocal ep_dev, ep_n
+            ep_dev = metrics if ep_dev is None else jax.tree_util.tree_map(
+                jnp.add, ep_dev, metrics)
             ep_n += 1
-            return host
 
         if semi_mode and epoch > supervised_epochs:
             train_loader_u.set_epoch(epoch)
@@ -255,10 +256,9 @@ def main(cfg: EasyConfig) -> dict:
                 state, metrics = semi_step(state, _model_batch(batch_l, put),
                                            _semi_batch(batch_u, put), lr,
                                            use_teacher)
-                host = _accum(metrics)
-                for k in meters:
-                    meters[k].update(float(host[k]))
-                timer.tick(int(state.step), epoch=epoch)
+                _accum(metrics)
+                host_step += 1
+                timer.tick(host_step, epoch=epoch)
         else:
             # supervised phase trains the plain TrainState view of the state
             sup_state = TrainState(params=state.params,
@@ -267,9 +267,9 @@ def main(cfg: EasyConfig) -> dict:
                 if semi_mode else state
             for batch_l in train_loader_l:
                 sup_state, metrics = sup_step(sup_state, _model_batch(batch_l, put), lr)
-                host = _accum(metrics)
-                for k in meters:
-                    meters[k].update(float(host[k]))
+                _accum(metrics)
+                host_step += 1
+                timer.tick(host_step, epoch=epoch)
             if semi_mode:
                 state = state.replace(params=sup_state.params,
                                       batch_stats=sup_state.batch_stats,
@@ -278,13 +278,19 @@ def main(cfg: EasyConfig) -> dict:
             else:
                 state = sup_state
 
+        # single D2H sync per epoch for all scalar + per-class metrics
+        ep_mean = {k: np.asarray(v, dtype=np.float64) / max(ep_n, 1)
+                   for k, v in jax.device_get(ep_dev).items()} if ep_n else {}
+        meters = {k: AverageMeter() for k in ("loss", "sup_loss", "unsup_loss")}
+        for k in meters:
+            meters[k].update(float(ep_mean.get(k, float("nan"))))
+
         logger.info(f"epoch {epoch}/{cfg.epochs} lr={float(lr):.6f} "
                     f"loss={meters['loss'].avg:.5f} "
                     f"sup={meters['sup_loss'].avg:.5f} "
                     f"unsup={meters['unsup_loss'].avg:.5f} "
                     f"({time.time() - t0:.1f}s)")
         if writer:
-            ep_mean = {k: v / max(ep_n, 1) for k, v in ep_sum.items()}
             writer.add_scalar("lr", float(lr), epoch)
             for tag, key in ref_tags.items():
                 if key in ep_mean:
