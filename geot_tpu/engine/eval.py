@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.metrics import seg_metrics_whole
+
 from ..ops import three_nn
 
 
@@ -57,26 +57,112 @@ def get_pred_whole(logits, pos, full_points_list, centers, scales,
     return preds
 
 
+NUM_CLASSES = 17
+
+
+@jax.jit
+def _upsample_cm(probs, pos, full_points, center, scale, labels, n_valid):
+    """Fused full-res upsample + per-scan confusion matrix, all on device.
+
+    Fetching full-resolution predictions cost one D2H round-trip + ~100 KB
+    per SAMPLE through the axon tunnel (~1 s/scan eval); the (17, 17)
+    confusion matrix carries everything ``seg_metrics_whole`` needs in 1 KB
+    and lets the whole eval pipeline dispatch asynchronously.
+    """
+    pred = _upsample_pred(probs, pos, full_points, center, scale)
+    valid = jnp.arange(pred.shape[0]) < n_valid
+    flat = labels * NUM_CLASSES + pred
+    cm = jnp.zeros((NUM_CLASSES * NUM_CLASSES,), jnp.int32)
+    cm = cm.at[flat].add(valid.astype(jnp.int32))
+    return cm.reshape(NUM_CLASSES, NUM_CLASSES)
+
+
+def _metrics_from_cm(cm: np.ndarray):
+    """Same semantics as ``seg_metrics_whole`` (reference ``train.py:802-832``)
+    from a (C, C) label-x-pred confusion matrix."""
+    cm = np.asarray(cm, dtype=np.float64)
+    row = cm.sum(1)
+    col = cm.sum(0)
+    diag = np.diag(cm)
+    ious, dscs = [], []
+    for c in range(1, NUM_CLASSES):       # gum class 0 excluded
+        if row[c] == 0:
+            continue                       # class absent from ground truth
+        union = row[c] + col[c] - diag[c]
+        iou = diag[c] / union if union > 0 else 0.0
+        ious.append(iou)
+        dscs.append(2 * iou / (1 + iou))
+    total = cm.sum()
+    acc = float(diag.sum() / total) if total else float("nan")
+    miou = float(np.mean(ious)) if ious else float("nan")
+    mdsc = float(np.mean(dscs)) if dscs else float("nan")
+    return acc, miou, mdsc
+
+
 def validate(eval_step, variables, val_loader, cfg, logger=None,
-             num_votes: int = 0, data_transform=None) -> Dict[str, float]:
+             num_votes: int = 0, data_transform=None,
+             bucket: int = 8192) -> Dict[str, float]:
     """Reference ``validate`` (``train.py:716-779``): whole-scan metrics split
     into mandible (cls 0) / maxillary (cls 1) / whole means.
+
+    Two phases: everything (forward, voting, full-res upsample, per-scan
+    confusion matrix, sampled-point accuracy) is DISPATCHED first — device
+    work pipelines with host-side loading — then fetched in one sync.
 
     ``num_votes > 0``: average softmax over additional augmented passes using
     the ``vote`` transform pipeline (reference ``train.py:365-375``)."""
     mandible = {"miou": [], "dsc": [], "acc": []}
     maxillary = {"miou": [], "dsc": [], "acc": []}
-    sampled_accs = []
     vote_rng = np.random.default_rng(int(cfg.get("seed", 0)) if cfg else 0)
-    for batch in val_loader:
-        model_batch = {"pos": jnp.asarray(batch["pos"]),
-                       "x": jnp.asarray(batch["x"]),
-                       "cls": jnp.asarray(batch["cls"])}
+    pending_cm, pending_side, pending_acc = [], [], []
+
+    # The val/test batches are identical every call (no set_epoch on eval
+    # loaders, deterministic eval transforms), and host->device transfer of
+    # the full-resolution scans dominates eval wall time on a slow link
+    # (~0.5 MB/sample). Cache the device-resident eval tensors on the loader
+    # after the first pass; later validations are device-bound.
+    use_cache = bool(cfg.get("eval_device_cache", True)) if cfg else True
+    cache = getattr(val_loader, "_geot_eval_cache", None) if use_cache else None
+    if cache is None:
+        cache = []
+        for batch in val_loader:
+            entry = {
+                "model_batch": {"pos": jnp.asarray(batch["pos"]),
+                                "x": jnp.asarray(batch["x"]),
+                                "cls": jnp.asarray(batch["cls"])},
+                "pos_host": np.asarray(batch["pos"]),
+                "y": jnp.asarray(batch["y"]),
+                "samples": [],
+            }
+            for i, full in enumerate(batch["points"]):
+                full = np.asarray(full, dtype=np.float32)
+                P = len(full)
+                padded_len = -(-P // bucket) * bucket
+                padded = np.zeros((padded_len, 3), dtype=np.float32)
+                padded[:P] = full
+                lab = np.zeros((padded_len,), dtype=np.int32)
+                lab[:P] = np.asarray(batch["labels"][i], dtype=np.int32)
+                entry["samples"].append({
+                    "pos": jnp.asarray(batch["pos"][i]),
+                    "full": jnp.asarray(padded),
+                    "labels": jnp.asarray(lab),
+                    "center": jnp.asarray(np.asarray(batch["center"][i],
+                                                     np.float32)),
+                    "scale": jnp.asarray(np.float32(batch["scale"][i])),
+                    "n_valid": jnp.int32(P),
+                    "side": int(np.asarray(batch["cls"][i]).reshape(-1)[0]),
+                })
+            cache.append(entry)
+        if use_cache:
+            val_loader._geot_eval_cache = cache
+
+    for entry in cache:
+        model_batch = entry["model_batch"]
         logits = eval_step(variables, model_batch)
         if num_votes and data_transform is not None:
             probs = jax.nn.softmax(logits, axis=-1)
             for _ in range(num_votes):
-                voted = {"pos": np.asarray(batch["pos"]).copy()}
+                voted = {"pos": entry["pos_host"].copy()}
                 voted = data_transform(voted, vote_rng)
                 vb = dict(model_batch)
                 vb["pos"] = jnp.asarray(voted["pos"])
@@ -85,17 +171,22 @@ def validate(eval_step, variables, val_loader, cfg, logger=None,
             logits = jnp.log(probs / (num_votes + 1) + 1e-12)
         # direct accuracy on the sampled points — separates model quality
         # from the full-res upsampling path
-        sampled_accs.append(float(np.mean(
-            np.asarray(jnp.argmax(logits, -1)) == np.asarray(batch["y"]))))
-        preds = get_pred_whole(logits, batch["pos"], batch["points"],
-                               batch["center"], batch["scale"])
-        for i, pred in enumerate(preds):
-            acc, miou, mdsc = seg_metrics_whole(pred, np.asarray(batch["labels"][i]))
-            side = mandible if int(np.asarray(batch["cls"][i]).reshape(-1)[0]) == 0 \
-                else maxillary
-            side["miou"].append(miou)
-            side["dsc"].append(mdsc)
-            side["acc"].append(acc)
+        pending_acc.append(jnp.mean(
+            (jnp.argmax(logits, -1) == entry["y"]).astype(jnp.float32)))
+        probs = jax.nn.softmax(logits, axis=-1)
+        for i, s in enumerate(entry["samples"]):
+            cm = _upsample_cm(probs[i], s["pos"], s["full"], s["center"],
+                              s["scale"], s["labels"], s["n_valid"])
+            pending_cm.append(cm)
+            pending_side.append(s["side"])
+
+    sampled_accs = [float(a) for a in jax.device_get(pending_acc)]
+    for cm, side_id in zip(jax.device_get(pending_cm), pending_side):
+        acc, miou, mdsc = _metrics_from_cm(cm)
+        side = mandible if side_id == 0 else maxillary
+        side["miou"].append(miou)
+        side["dsc"].append(mdsc)
+        side["acc"].append(acc)
 
     def _mean(vals):
         return float(np.mean(vals)) if vals else float("nan")

@@ -109,3 +109,23 @@ class TestHeritageMetrics:
             2, num_parts, objects, preds, targets, masks)
         assert acc == pytest.approx(1.0)
         assert cls_avg == pytest.approx(1.0) and inst_avg == pytest.approx(1.0)
+
+
+def test_metrics_from_cm_matches_seg_metrics_whole(rng):
+    """The device confusion-matrix eval path must reproduce
+    ``seg_metrics_whole`` exactly."""
+    from geot_tpu.core.metrics import seg_metrics_whole
+    from geot_tpu.engine.eval import NUM_CLASSES, _metrics_from_cm
+
+    pred = rng.integers(0, NUM_CLASSES, 5000)
+    label = rng.integers(0, NUM_CLASSES, 5000)
+    # drop some classes from the ground truth to exercise the absent-class path
+    label[label == 5] = 6
+    label[label == 11] = 0
+    cm = np.bincount(label * NUM_CLASSES + pred,
+                     minlength=NUM_CLASSES ** 2).reshape(NUM_CLASSES, -1)
+    a0, m0, d0 = seg_metrics_whole(pred, label)
+    a1, m1, d1 = _metrics_from_cm(cm)
+    assert a1 == pytest.approx(a0, abs=1e-12)
+    assert m1 == pytest.approx(m0, abs=1e-12)
+    assert d1 == pytest.approx(d0, abs=1e-12)
