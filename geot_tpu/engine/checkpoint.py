@@ -67,6 +67,20 @@ def load_checkpoint(path: str, template_state):
     return state, payload["epoch"], payload.get("extra", {})
 
 
+def load_variables(path: str):
+    """Model variables (params + batch_stats) from a saved checkpoint, no
+    state template needed — for export/serving where the optimizer state is
+    irrelevant."""
+    import orbax.checkpoint as ocp
+
+    payload = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    st = payload["state"]
+    out = {"params": st["params"]}
+    if st.get("batch_stats"):
+        out["batch_stats"] = st["batch_stats"]
+    return out
+
+
 # --------------------------------------------------------------------------
 # torch .pth -> flax conversion (flagship PointTransformer_seg_T family)
 # --------------------------------------------------------------------------
