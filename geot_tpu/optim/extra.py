@@ -7,12 +7,13 @@ from ``optim_factory.py:156``.  Each is re-derived here as a pure optax
 ``GradientTransformation`` — state is an explicit pytree (donatable, shardable
 under pjit) instead of in-place torch buffer mutation.
 
-Projection granularity note: timm's AdamP/SGDP project per *channel view* for
-conv kernels and fall back to the flattened-tensor view otherwise; here the
-projection is tensor-level (the fallback view) for every parameter — same
-update rule, one view.  AdaHessian is intentionally not provided: it needs a
-second backward pass for the Hutchinson Hessian trace, which does not fit the
-``GradientTransformation`` interface (and no reference config selects it).
+AdamP/SGDP use the reference's exact two-stage projection (channel view
+first, flattened layer view as fallback — ``adamp.py:25``), verified step-by-
+step against the reference's own torch implementations in
+``tests/test_optim_parity_torch.py``.  AdaHessian is intentionally not
+provided: it needs a second backward pass for the Hutchinson Hessian trace,
+which does not fit the ``GradientTransformation`` interface (and no reference
+config selects it).
 """
 from __future__ import annotations
 
@@ -21,15 +22,8 @@ from typing import NamedTuple, Optional
 import chex
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
-
-
-def _flat_dot(a, b):
-    return jnp.sum(a * b)
-
-
-def _l2(a, eps=0.0):
-    return jnp.sqrt(jnp.sum(a * a)) + eps
 
 
 class ScaleByAdamPState(NamedTuple):
@@ -39,17 +33,32 @@ class ScaleByAdamPState(NamedTuple):
 
 
 def _projection(p, grad, perturb, delta, wd_ratio, eps):
-    """timm AdamP ``_projection`` (tensor view): if the gradient is nearly
-    orthogonal to the weight (scale-invariant layer, e.g. behind a norm),
-    remove the radial component of the step and shrink weight decay."""
-    cosine = jnp.abs(_flat_dot(grad, p)) / (_l2(grad, eps) * _l2(p, eps))
-    scale_invariant = cosine < delta / jnp.sqrt(jnp.asarray(p.size, p.dtype))
-    p_unit = p / _l2(p, eps)
-    projected = perturb - p_unit * _flat_dot(p_unit, perturb)
-    perturb = jnp.where(scale_invariant, projected, perturb)
-    ratio = jnp.where(scale_invariant, jnp.asarray(wd_ratio, p.dtype),
+    """AdamP ``projection`` (reference ``openpoints/optim/adamp.py:25``):
+    CHANNEL view first, then LAYER view — if the gradient is nearly
+    orthogonal to the weight under either view (scale-invariant weights,
+    e.g. behind a norm), remove the radial component of the step and shrink
+    weight decay.  Exact port: cosine = |a.b| / max(|a||b|, eps) like
+    ``F.cosine_similarity``; the channel branch short-circuits the layer one."""
+    expand = (-1,) + (1,) * (p.ndim - 1)
+
+    def try_view(view):
+        pv = view(p)
+        gv = view(grad)
+        dot = jnp.sum(pv * gv, axis=1)
+        cos = jnp.abs(dot) / jnp.maximum(
+            jnp.linalg.norm(pv, axis=1) * jnp.linalg.norm(gv, axis=1), eps)
+        cond = jnp.max(cos) < delta / np.sqrt(pv.shape[1])
+        p_n = p / (jnp.linalg.norm(pv, axis=1) + eps).reshape(expand)
+        projected = perturb - p_n * jnp.sum(view(p_n * perturb),
+                                            axis=1).reshape(expand)
+        return cond, projected
+
+    cond_c, proj_c = try_view(lambda x: x.reshape(x.shape[0], -1))
+    cond_l, proj_l = try_view(lambda x: x.reshape(1, -1))
+    out = jnp.where(cond_c, proj_c, jnp.where(cond_l, proj_l, perturb))
+    ratio = jnp.where(cond_c | cond_l, jnp.asarray(wd_ratio, p.dtype),
                       jnp.asarray(1.0, p.dtype))
-    return perturb, ratio
+    return out, ratio
 
 
 def adamp(learning_rate, b1: float = 0.9, b2: float = 0.999,
@@ -122,18 +131,35 @@ def sgdp(learning_rate, momentum: float = 0.9, weight_decay: float = 0.0,
             lambda b, g: momentum * b + (1 - dampening) * g,
             state.momentum, updates)
 
-        def step(p, g, b):
+        def proj(p, g, b):
             d_p = g + momentum * b if nesterov else b
             ratio = jnp.asarray(1.0, p.dtype)
             if p.ndim >= 2:
                 d_p, ratio = _projection(p, g, d_p, delta, wd_ratio, eps)
-            decay = weight_decay * ratio if (p.ndim >= 2 or not filter_bias_and_bn) else 0.0
+            return d_p, ratio
+
+        projected = jax.tree_util.tree_map(proj, params, updates, buf)
+        d_p_tree = jax.tree_util.tree_map(lambda t: t[0], projected,
+                                          is_leaf=lambda x: isinstance(x, tuple))
+        ratio_tree = jax.tree_util.tree_map(lambda t: t[1], projected,
+                                            is_leaf=lambda x: isinstance(x, tuple))
+
+        def add_decay(p, d_p, ratio):
+            # reference sgdp.py:64: decay scaled by 1/(1 - momentum)
+            decay = (weight_decay * ratio / (1.0 - momentum)
+                     if (p.ndim >= 2 or not filter_bias_and_bn) else 0.0)
             return d_p + decay * p
 
-        new_updates = jax.tree_util.tree_map(step, params, updates, buf)
+        new_updates = jax.tree_util.tree_map(add_decay, params, d_p_tree,
+                                             ratio_tree)
         lr = learning_rate(count) if callable(learning_rate) else learning_rate
         new_updates = jax.tree_util.tree_map(lambda u: -lr * u, new_updates)
-        return new_updates, ScaleBySGDPState(count, buf)
+        # bug-compatible with the reference (sgdp.py:46-60): for the plain
+        # (non-nesterov) path d_p IS the momentum buffer in torch, so the
+        # projection's in-place subtraction mutates the stored momentum —
+        # verified against the vendored implementation step by step
+        new_momentum = buf if nesterov else d_p_tree
+        return new_updates, ScaleBySGDPState(count, new_momentum)
 
     return optax.GradientTransformation(init, update)
 
