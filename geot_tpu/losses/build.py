@@ -340,9 +340,14 @@ class MSELossU:
 
     def __call__(self, logits, target, thresh: float = 0.95):
         probs = jax.nn.softmax(logits, -1)
-        mask = jnp.any(probs >= thresh, axis=-1, keepdims=True).astype(probs.dtype)
+        mask = (probs >= thresh).astype(probs.dtype)          # (B, N, C)
         loss = (probs - target) ** 2
-        return jnp.sum(loss * mask) / (jnp.sum(mask) + 0.001)
+        # bug-compatible with the reference (``build.py:952``):
+        # ``loss * thresh_mask.unsqueeze(1)`` right-align-broadcasts
+        # (1,B,C,N) x (B,1,C,N) -> (B,B,C,N), so per (c,n) the numerator is
+        # (sum_b mask) * (sum_b' loss); verified vs the torch oracle
+        num = jnp.sum(jnp.sum(mask, 0) * jnp.sum(loss, 0))
+        return num / (jnp.sum(mask) + 0.001)
 
 
 @LOSS.register_module(name="MultiShapeCrossEntropy")
