@@ -246,46 +246,74 @@ def build_scheduler_from_cfg(cfg, optimizer=None):
     sched = cfg.get("sched", "multistep")
     lr = float(cfg.get("lr", 1e-3))
     epochs = int(cfg.get("epochs", 300))
-    min_lr = cfg.get("min_lr") or 0.0
+    # reference defaults (``scheduler_factory.py:13-21``): min_lr = lr/1000
+    # when unset, decay_rate = 0.01**(1/epochs) when unset
+    min_lr = float(cfg["min_lr"]) if cfg.get("min_lr") else lr / 1000.0
+    default_rate = 0.01 ** (1.0 / max(epochs, 1))
+    t_max = int(cfg.get("t_max") or epochs)
     warmup_epochs = int(cfg.get("warmup_epochs", 0) or 0)
     warmup_lr = cfg.get("warmup_lr", 1e-6)
     warmup_lr = 1e-6 if warmup_lr is None else float(warmup_lr)
 
-    if sched == "multistep":
-        decay_epochs = list(cfg.get("decay_epochs", [220]))
-        rate = float(cfg.get("decay_rate", 0.1))
+    # The trainer evaluates ``schedule(epoch)`` (1-based) at the START of each
+    # epoch; the reference steps the timm scheduler with the 0-based epoch
+    # after the previous one, so the effective lr for epoch e is the timm
+    # value at t = e - 1.  All formulas below are exact timm ports (verified
+    # epoch-by-epoch against the reference's vendored schedulers in
+    # ``tests/test_sched_parity_torch.py``).
+    import math
 
+    def _with_warmup(base_fn):
         def schedule(epoch):
-            factor = 1.0
-            for e in decay_epochs:
-                if epoch >= e:
-                    factor *= rate
-            return lr * factor
+            t = max(int(epoch) - 1, 0)
+            if warmup_epochs > 0 and t < warmup_epochs:
+                return warmup_lr + t * (lr - warmup_lr) / warmup_epochs
+            return base_fn(t)
+        return schedule
+
+    if sched == "multistep":
+        import bisect
+
+        decay_epochs = sorted(cfg.get("decay_epochs", [220]))
+        rate = float(cfg.get("decay_rate") or 0.1)
+
+        def base(t):
+            # ``multistep_lr.py:46``: bisect_right(decay_t, t + 1)
+            return lr * rate ** bisect.bisect_right(decay_epochs, t + 1)
+        schedule = _with_warmup(base)
     elif sched == "step":
         decay_every = int(cfg.get("decay_epochs", 30) if not isinstance(
             cfg.get("decay_epochs"), (list, tuple)) else cfg["decay_epochs"][0])
-        rate = float(cfg.get("decay_rate", 0.1))
+        rate = float(cfg.get("decay_rate") or default_rate)
 
-        def schedule(epoch):
-            return lr * (rate ** (epoch // max(decay_every, 1)))
+        def base(t):
+            return lr * (rate ** (t // max(decay_every, 1)))
+        schedule = _with_warmup(base)
     elif sched == "cosine":
-        import math
-
-        def schedule(epoch):
-            t = min(max(epoch - warmup_epochs, 0) / max(epochs - warmup_epochs, 1), 1.0)
-            return min_lr + (lr - min_lr) * 0.5 * (1 + math.cos(math.pi * t))
+        def base(t):
+            if t >= t_max:                      # past cycle_limit=1 cycle
+                return min_lr
+            return min_lr + 0.5 * (lr - min_lr) * (
+                1 + math.cos(math.pi * t / t_max))
+        schedule = _with_warmup(base)
     elif sched == "tanh":
-        import math
+        lb, ub = -7.0, 3.0                      # timm ``tanh_lr.py:27-28``
 
-        def schedule(epoch):
-            t = min(max(epoch - warmup_epochs, 0) / max(epochs - warmup_epochs, 1), 1.0)
-            return min_lr + (lr - min_lr) * 0.5 * (1 - math.tanh(3.0 * (2 * t - 1)))
+        def base(t):
+            if t >= epochs:
+                return min_lr
+            tr = t / epochs
+            return min_lr + 0.5 * (lr - min_lr) * (
+                1 - math.tanh(lb * (1.0 - tr) + ub * tr))
+        schedule = _with_warmup(base)
     elif sched == "poly":
-        power = float(cfg.get("decay_rate", 0.9))
+        power = float(cfg.get("decay_rate") or 0.9)
 
-        def schedule(epoch):
-            t = min(max(epoch - warmup_epochs, 0) / max(epochs - warmup_epochs, 1), 1.0)
-            return (lr - min_lr) * ((1 - t) ** power) + min_lr
+        def base(t):
+            if t >= epochs:
+                return min_lr
+            return min_lr + (lr - min_lr) * (1 - t / epochs) ** power
+        schedule = _with_warmup(base)
     elif sched == "plateau":
         return PlateauSchedule(
             lr, decay_rate=float(cfg.get("decay_rate", 0.1)),
@@ -299,14 +327,6 @@ def build_scheduler_from_cfg(cfg, optimizer=None):
             return lr
     else:
         raise ValueError(f"unknown scheduler {sched}")
-
-    if warmup_epochs > 0:
-        base = schedule
-
-        def schedule(epoch):  # noqa: F811
-            if epoch < warmup_epochs:
-                return warmup_lr + (lr - warmup_lr) * epoch / warmup_epochs
-            return base(epoch)
 
     return schedule
 

@@ -125,28 +125,31 @@ class TestSchedulers:
         assert s(25) == pytest.approx(0.01)
 
     def test_cosine_endpoints(self):
+        # timm semantics (schedule(epoch) is the lr DURING 1-based epoch,
+        # i.e. the timm value at t = epoch - 1); min_lr falsy -> lr/1000
+        # like the reference factory (scheduler_factory.py:16)
         s = build_scheduler_from_cfg({"sched": "cosine", "lr": 1.0,
                                       "min_lr": 0.0, "epochs": 100})
-        assert s(0) == pytest.approx(1.0)
-        assert s(100) == pytest.approx(0.0, abs=1e-6)
-        assert 0.4 < s(50) < 0.6
+        assert s(1) == pytest.approx(1.0)
+        assert s(100) == pytest.approx(1e-3, abs=3e-4)
+        assert 0.4 < s(51) < 0.6
 
     def test_warmup(self):
         s = build_scheduler_from_cfg({"sched": "cosine", "lr": 1.0,
                                       "epochs": 100, "warmup_epochs": 10,
                                       "warmup_lr": 0.0})
-        assert s(0) == pytest.approx(0.0)
-        assert s(5) == pytest.approx(0.5)
-        assert s(10) == pytest.approx(1.0, abs=1e-2)
+        assert s(1) == pytest.approx(0.0)
+        assert s(6) == pytest.approx(0.5)
+        assert s(11) == pytest.approx(0.9756, abs=1e-3)  # cos(pi*10/100), not warmup-prefixed
 
     def test_step_and_poly(self):
         st = build_scheduler_from_cfg({"sched": "step", "lr": 1.0,
                                        "decay_epochs": 10, "decay_rate": 0.5,
                                        "epochs": 40})
-        assert st(25) == pytest.approx(0.25)
+        assert st(26) == pytest.approx(0.25)
         p = build_scheduler_from_cfg({"sched": "poly", "lr": 1.0,
                                       "decay_rate": 1.0, "epochs": 10})
-        assert p(5) == pytest.approx(0.5, abs=0.06)
+        assert p(6) == pytest.approx(0.5, abs=0.06)
 
 
 class TestCheckpoint:
