@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .knn import knn
-from .group import grouping_operation
+
 
 
 def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk_size: int = 2048):

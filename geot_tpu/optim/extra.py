@@ -17,7 +17,7 @@ config selects it).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import chex
 import jax
