@@ -97,3 +97,25 @@ def test_dp8_semi_step_matches_single_device():
     assert sup_8 == pytest.approx(sup_1, abs=1e-5)
     # post-update parameters agree too (gradient all-reduce parity)
     assert pnorm_8 == pytest.approx(pnorm_1, rel=1e-5)
+
+
+@pytest.mark.slow
+def test_dp4_tp2_semi_step_matches_single_device():
+    """Tensor-parallel sharding (Megatron qkv/proj/fc rules) must also be a
+    pure layout change: dp=4 x tp=2 over 8 devices matches single-device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (run via scripts/test.sh)")
+    loss_1, sup_1, pnorm_1 = _run(shard=False)
+
+    state, batch_l, batch_u, step = _setup()
+    mesh = make_mesh(jax.devices()[:8], dp=4, tp=2)
+    state = shard_state(state, mesh)
+    batch_l = shard_batch(batch_l, mesh)
+    batch_u = shard_batch(batch_u, mesh)
+    new_state, metrics = step(state, batch_l, batch_u, jnp.asarray(1e-3), True)
+    pnorm = jax.jit(lambda p: jnp.sqrt(sum(
+        jnp.sum(jnp.square(x.astype(jnp.float32)))
+        for x in jax.tree_util.tree_leaves(p))))(new_state.params)
+    assert float(metrics["loss"]) == pytest.approx(loss_1, abs=1e-5)
+    assert float(metrics["sup_loss"]) == pytest.approx(sup_1, abs=1e-5)
+    assert float(pnorm) == pytest.approx(pnorm_1, rel=1e-5)
