@@ -91,3 +91,41 @@ class TestSmokeTrain:
         assert any("ckpt" in d for d in os.listdir(cfg.ckpt_dir))
         # scalars logged
         assert (tmp_path / "run" / "scalars.jsonl").exists()
+
+
+class TestResume:
+    @pytest.mark.slow
+    def test_mode_resume_continues_from_checkpoint(self, tmp_path):
+        """Reference ``mode=resume`` (``ckpt_util.py:111``): a second main()
+        with mode=resume restores the state pytree + epoch and continues."""
+        from geot_tpu.engine.train import main
+
+        cfg = EasyConfig()
+        cfg.load(os.path.join(os.path.dirname(__file__), "..",
+                              "cfgs", "tooth_semi", "smoke.yaml"),
+                 recursive=True)
+        cfg.run_dir = str(tmp_path / "run")
+        cfg.ckpt_dir = str(tmp_path / "run" / "checkpoint")
+        cfg.run_name = "resume_smoke"
+        cfg.epochs = 2
+        cfg.val_freq = 2
+        cfg.test_freq = 999
+        os.makedirs(cfg.ckpt_dir, exist_ok=True)
+        main(cfg)
+        latest = [d for d in os.listdir(cfg.ckpt_dir) if "latest" in d]
+        assert latest, "checkpoint must exist after the first run"
+
+        cfg2 = EasyConfig()
+        cfg2.load(os.path.join(os.path.dirname(__file__), "..",
+                               "cfgs", "tooth_semi", "smoke.yaml"),
+                  recursive=True)
+        cfg2.run_dir = cfg.run_dir
+        cfg2.ckpt_dir = cfg.ckpt_dir
+        cfg2.run_name = cfg.run_name
+        cfg2.val_freq = 2
+        cfg2.test_freq = 999
+        cfg2.mode = "resume"
+        cfg2.pretrained_path = os.path.join(cfg.ckpt_dir, latest[0])
+        cfg2.epochs = 4
+        results = main(cfg2)
+        assert "val" in results and np.isfinite(results["val"]["whole_acc"])
