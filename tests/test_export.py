@@ -53,3 +53,32 @@ def test_export_runtime_params(tmp_path):
     ref = model.apply(variables, {"pos": pos, "x": pos, "cls": cls})[0]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_export_cli_with_checkpoint(tmp_path):
+    """The export CLI restores an orbax checkpoint and writes an artifact."""
+    import jax
+
+    from geot_tpu.engine.checkpoint import save_checkpoint
+    from geot_tpu.engine.export import export_cli, load_forward
+    from geot_tpu.engine.state import TrainState
+    from geot_tpu.optim import build_optimizer_from_cfg
+
+    model, variables = _build()
+    tx = build_optimizer_from_cfg(None, lr=1e-3, NAME="adamw")
+    state = TrainState.create(variables, tx)
+    cfg = {"ckpt_dir": str(tmp_path), "run_name": "exp"}
+    save_checkpoint(cfg, state, epoch=1, additional_dict={}, is_best=False)
+
+    import yaml
+
+    cfg_yaml = tmp_path / "model.yaml"
+    cfg_yaml.write_text(yaml.dump({"model": {"NAME": "WholePartSeg",
+                                             "segmentor_args": dict(SEG)}}))
+    out = tmp_path / "model.bin"
+    export_cli(["--cfg", str(cfg_yaml),
+                "--ckpt", str(tmp_path / "exp_ckpt_latest"),
+                "--out", str(out), "--n_points", str(N), "--batch", "1"])
+    fwd = load_forward(str(out))
+    pos = jnp.zeros((1, N, 3))
+    assert fwd(pos, jnp.zeros((1, 1), jnp.int32)).shape == (1, N, 17)
