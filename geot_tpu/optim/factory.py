@@ -218,9 +218,10 @@ class PlateauSchedule:
     def __call__(self, epoch, metric=None):
         if metric is not None:
             self.note_metric(metric)
-        if self.warmup_epochs > 0 and epoch < self.warmup_epochs:
+        t = max(int(epoch) - 1, 0)   # same 1-based-epoch convention as the
+        if self.warmup_epochs > 0 and t < self.warmup_epochs:  # timm ports
             return self.warmup_lr + (self.base_lr - self.warmup_lr) \
-                * epoch / self.warmup_epochs
+                * t / self.warmup_epochs
         return self.cur
 
     def state_dict(self):
