@@ -112,9 +112,10 @@ def test_plateau_scheduler():
                                   "min_lr": 0.01, "warmup_epochs": 2,
                                   "warmup_lr": 0.1})
     assert isinstance(s, PlateauSchedule)
-    assert s(0) == pytest.approx(0.1)           # warmup start
-    assert s(1) == pytest.approx(0.55)          # warmup midpoint
-    assert s(2) == pytest.approx(1.0)
+    # 1-based epochs, t = epoch - 1 like the timm ports
+    assert s(1) == pytest.approx(0.1)           # warmup start
+    assert s(2) == pytest.approx(0.55)          # warmup midpoint
+    assert s(3) == pytest.approx(1.0)           # warmup done
 
     s.note_metric(0.5)                          # best=0.5
     s.note_metric(0.6)                          # improves
