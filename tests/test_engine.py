@@ -129,3 +129,53 @@ class TestResume:
         cfg2.epochs = 4
         results = main(cfg2)
         assert "val" in results and np.isfinite(results["val"]["whole_acc"])
+
+    @pytest.mark.slow
+    def test_resume_trajectory_matches_uninterrupted(self, tmp_path):
+        """2 epochs + resume for 2 more must reproduce the straight 4-epoch
+        run: data rng is (seed, epoch, idx)-keyed and step rngs fold from
+        state.step, so restoring the pytree restores the trajectory."""
+        from geot_tpu.engine.train import main
+
+        def base_cfg(run):
+            cfg = EasyConfig()
+            cfg.load(os.path.join(os.path.dirname(__file__), "..",
+                                  "cfgs", "tooth_semi", "smoke.yaml"),
+                     recursive=True)
+            cfg.run_dir = str(tmp_path / run)
+            cfg.ckpt_dir = str(tmp_path / run / "checkpoint")
+            cfg.run_name = run
+            cfg.val_freq = 999
+            cfg.test_freq = 999
+            cfg.seed = 11
+            os.makedirs(cfg.ckpt_dir, exist_ok=True)
+            return cfg
+
+        def losses_of(run_dir):
+            import json
+            out = {}
+            for line in open(os.path.join(run_dir, "scalars.jsonl")):
+                d = json.loads(line)
+                if d["tag"] == "train_loss":
+                    out[d["step"]] = d["value"]
+            return out
+
+        cfg = base_cfg("straight")
+        cfg.epochs = 4
+        cfg.save_freq = 2
+        main(cfg)
+        straight = losses_of(cfg.run_dir)
+
+        cfg1 = base_cfg("interrupted")
+        cfg1.epochs = 2
+        main(cfg1)
+        latest = [d for d in os.listdir(cfg1.ckpt_dir) if "latest" in d][0]
+        cfg2 = base_cfg("interrupted")
+        cfg2.mode = "resume"
+        cfg2.pretrained_path = os.path.join(cfg1.ckpt_dir, latest)
+        cfg2.epochs = 4
+        main(cfg2)
+        resumed = losses_of(cfg2.run_dir)
+
+        assert resumed[4] == pytest.approx(straight[4], rel=1e-5), \
+            f"epoch-4 loss diverged: {resumed[4]} vs {straight[4]}"
