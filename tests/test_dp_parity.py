@@ -119,3 +119,29 @@ def test_dp4_tp2_semi_step_matches_single_device():
     assert float(metrics["loss"]) == pytest.approx(loss_1, abs=1e-5)
     assert float(metrics["sup_loss"]) == pytest.approx(sup_1, abs=1e-5)
     assert float(pnorm) == pytest.approx(pnorm_1, rel=1e-5)
+
+
+@pytest.mark.slow
+def test_dp8_sharded_inference_matches_single_device():
+    """Batch-parallel SERVING: the eval step over a dp-sharded batch matches
+    single-device logits (the multi-chip inference story)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (run via scripts/test.sh)")
+    from geot_tpu.engine.steps import make_eval_step
+
+    model = build_model_from_cfg({"NAME": "WholePartSeg",
+                                  "segmentor_args": dict(SEG_ARGS)})
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+    batch = {"pos": pos, "x": pos, "cls": jnp.zeros((B, 1), jnp.int32)}
+    variables = jax.jit(model.init)(
+        {"params": key, "dropout": jax.random.fold_in(key, 1)}, batch)
+    step = make_eval_step(model)
+    logits_1 = np.asarray(step(variables, batch))
+
+    mesh = make_mesh(jax.devices()[:8], dp=8, tp=1)
+    v_sh = shard_state(variables, mesh)
+    b_sh = shard_batch(batch, mesh)
+    logits_8 = np.asarray(step(v_sh, b_sh))
+    np.testing.assert_allclose(logits_8, logits_1, atol=2e-5, rtol=2e-5)
