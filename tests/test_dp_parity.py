@@ -28,7 +28,20 @@ SEG_ARGS = dict(
 B, N = 8, 256
 
 
+_CACHE = {}
+
+
 def _setup():
+    """Model/step built once per test session (each jit-compiles the full
+    semi step, ~90 s on CPU); only the state/batches are rebuilt per call
+    because the step donates its state argument."""
+    if "step" not in _CACHE:
+        _CACHE.update(_build_once())
+    state = _CACHE["mk_state"]()
+    return state, dict(_CACHE["batch_l"]), dict(_CACHE["batch_u"]), _CACHE["step"]
+
+
+def _build_once():
     cfg = EasyConfig({
         "criterion_args": {"NAME": "Poly1FocalLoss"},
         "criterion_u_args": {"NAME": "Poly1FocalLoss_U_corr"},
@@ -64,11 +77,18 @@ def _setup():
                               jnp.full((1, 8, 17), 1 / 17), jnp.eye(17))
     tx = build_optimizer_from_cfg(None, lr=1e-3, NAME="adamw")
     t_tx = build_optimizer_from_cfg(None, lr=1e-3, NAME="adamw")
-    state = SemiTrainState.create(variables, tx, t_vars, t_tx, 17,
-                                  jax.random.fold_in(key, 3),
-                                  contrast_dim=SEG_ARGS["trans_dim"])
+    def mk_state():
+        # fresh copies: the step donates the state, which would delete the
+        # cached variable buffers
+        cp = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), t)
+        return SemiTrainState.create(cp(variables), tx, cp(t_vars), t_tx, 17,
+                                     jax.random.fold_in(key, 3),
+                                     contrast_dim=SEG_ARGS["trans_dim"])
+
     step = make_semi_step(model, model, t_predictor, tx, t_tx, cfg)
-    return state, batch_l, batch_u, step
+    return {"mk_state": mk_state, "batch_l": batch_l, "batch_u": batch_u,
+            "step": step}
 
 
 def _run(shard):
