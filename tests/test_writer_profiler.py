@@ -1,0 +1,42 @@
+"""Writer (jsonl + TensorBoard) and StepTimer direct tests."""
+import json
+import os
+
+from geot_tpu.engine.profiler import StepTimer
+from geot_tpu.engine.writer import SummaryWriter, Wandb
+
+
+def test_writer_jsonl_and_tensorboard(tmp_path):
+    w = SummaryWriter(str(tmp_path))
+    for step in range(3):
+        w.add_scalar("train_loss", 0.5 - 0.1 * step, step)
+    w.close()
+    lines = [json.loads(l) for l in open(tmp_path / "scalars.jsonl")]
+    assert [l["step"] for l in lines] == [0, 1, 2]
+    assert lines[2]["value"] == 0.3
+    # real TensorBoard event files (tensorboardX is in the image)
+    tb = tmp_path / "tb"
+    assert tb.is_dir() and any("tfevents" in f for f in os.listdir(tb))
+
+
+def test_writer_without_tensorboard(tmp_path):
+    w = SummaryWriter(str(tmp_path), tensorboard=False)
+    w.add_scalar("x", 1.0, 0)
+    w.close()
+    assert (tmp_path / "scalars.jsonl").exists()
+
+
+def test_wandb_facade_noop():
+    assert Wandb.launch({"run_name": "x"}, use_wandb=False) is None
+    Wandb.log({"a": 1})            # silent no-op without a run
+
+
+def test_step_timer(tmp_path):
+    p = str(tmp_path / "step_times.jsonl")
+    t = StepTimer(p)
+    for i in range(3):
+        t.tick(i, epoch=1)
+    lines = [json.loads(l) for l in open(p)]
+    assert len(lines) == 2          # first tick only arms the timer
+    assert all(l["dt"] >= 0 for l in lines)
+    assert lines[0]["epoch"] == 1
