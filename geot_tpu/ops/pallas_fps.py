@@ -239,7 +239,9 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int,
     Np = -(-N // CHUNK) * CHUNK
     C = Np // SUB
     R = -(-npoint // LANE)
-    G = min(B, 4)
+    # ~80 bytes/point of VMEM per cloud (xyz + lut + mind + out); cap the
+    # interleave width so G clouds stay within ~12 MB of the ~16 MB VMEM
+    G = max(1, min(B, 4, (12 << 20) // (80 * Np)))
     Bp = -(-B // G) * G
     xyz32 = xyz.astype(jnp.float32)
     if Bp > B:                                   # pad with dummy clouds
