@@ -38,6 +38,20 @@ SHAPENETPART_CLS2PARTS = [
 ]
 
 
+class _EpochSeeded:
+    """Per-``(seed, epoch, idx)`` item RNG, mirroring ``_TeethBase``
+    (``tooth_semi.py:100-103``) so the loader's ``set_epoch`` forwarding
+    (``build.py:65-70``) makes augmentations epoch-varying while staying
+    deterministic (ADVICE r2: a fixed per-idx seed replayed identical
+    augmentations every epoch)."""
+
+    seed = 0
+    epoch = 0
+
+    def _rng(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng((self.seed, self.epoch, idx))
+
+
 def _cls2partembed():
     e = np.zeros((16, 50), np.float32)
     for i, parts in enumerate(SHAPENETPART_CLS2PARTS):
@@ -80,7 +94,7 @@ def _load_h5_partseg(partition, data_root):
     return (np.concatenate(data), np.concatenate(label), np.concatenate(seg))
 
 
-class _PartsegH5Base:
+class _PartsegH5Base(_EpochSeeded):
     """Shared h5 machinery of ``ShapeNetPart``/``ShapeNetPartCurve``."""
 
     def __init__(self, data_root="", num_points=2048, split="train",
@@ -89,6 +103,7 @@ class _PartsegH5Base:
         self.num_points = num_points
         self.partition = split
         self.transform = transform
+        self.seed = int(kwargs.get("seed", 0))
         self.eye = np.eye(shape_classes, dtype=np.float32)
         self.cat2id = {c if c != "motorbike" else "motor": i
                        for i, c in enumerate(CLASSES16)}
@@ -131,7 +146,7 @@ class ShapeNetPart(_PartsegH5Base):
     cls2parts = SHAPENETPART_CLS2PARTS
 
     def __getitem__(self, idx):
-        rng = np.random.default_rng(idx + 1)
+        rng = self._rng(idx)
         pos, cls, seg = self._item(idx, rng)
         if self.partition == "trainval":
             pos = _translate_pointcloud(pos, rng)
@@ -153,7 +168,7 @@ class ShapeNetPartCurve(_PartsegH5Base):
     cls2parts = SHAPENETPART_CLS2PARTS
 
     def __getitem__(self, idx):
-        rng = np.random.default_rng(idx + 1)
+        rng = self._rng(idx)
         pos, cls, seg = self._item(idx, rng)
         if "train" in self.partition:
             order = rng.permutation(len(pos))
@@ -167,7 +182,7 @@ class ShapeNetPartCurve(_PartsegH5Base):
 
 
 @DATASETS.register_module(name="ShapeNetPartNormal")
-class ShapeNetPartNormal:
+class ShapeNetPartNormal(_EpochSeeded):
     """txt variant with per-point normals (reference ``shapenetpart.py:134``):
     ``class_choice`` filtering, ``multihead`` per-category label offsets and
     ``presample`` (FPS once, cached to ``processed/<split>_<n>_fps.pkl``)."""
@@ -186,6 +201,7 @@ class ShapeNetPartNormal:
         self.num_points = num_points
         self.split = split
         self.transform = transform
+        self.seed = int(kwargs.get("seed", 0))
         self.use_normal = use_normal
         self.multihead = multihead
         self.presample = presample
@@ -245,7 +261,7 @@ class ShapeNetPartNormal:
         return len(self.items)
 
     def __getitem__(self, idx):
-        rng = np.random.default_rng(idx + 1)
+        rng = self._rng(idx)
         if self.synthetic:
             pos, normals, cls, y = _synth_part(self.items[idx], self.num_points)
         elif self.presample:
@@ -274,7 +290,7 @@ class ShapeNetPartNormal:
 
 
 @DATASETS.register_module(name="ShapeNet")
-class ShapeNet:
+class ShapeNet(_EpochSeeded):
     """Multi-view render pretraining over ShapeNet55 (reference
     ``shapenet55.py:15``) — the shapenet sibling of ``tooth_6000``: ply
     clouds rolled to [z, x, y], 12-view table at phi = (-1/2 + 1/6)pi,
@@ -290,6 +306,7 @@ class ShapeNet:
         self.n_views = int(n_views)
         self.gravity_dim = int(gravity_dim)
         self.transform = transform
+        self.seed = int(kwargs.get("seed", 0))
         self.random_view = bool(random_view)
         theta = np.linspace(0.0, 2.0, self.total_views + 1)[:self.total_views]
         angles = np.stack([theta, np.full_like(theta, -1 / 2 + 1 / 6)],
@@ -339,7 +356,7 @@ class ShapeNet:
         return np.stack(out)
 
     def __getitem__(self, idx):
-        rng = np.random.default_rng(idx + 1)
+        rng = self._rng(idx)
         pts = self._points(idx, rng)
         data = {"pos": pts}
         if self.transform is not None:
@@ -366,7 +383,7 @@ class ShapeNet55(ShapeNet):
 
 
 @DATASETS.register_module(name="ScanObjectNN")
-class ScanObjectNN:
+class ScanObjectNN(_EpochSeeded):
     """Real-scan classification (reference ``scanobjectnn.py:12``):
     objectbg/objectonly/hardest h5 modes, train shuffle, ``x`` = pos +
     height-above-min channel."""
@@ -381,6 +398,7 @@ class ScanObjectNN:
         self.num_points = num_points
         self.partition = split
         self.transform = transform
+        self.seed = int(kwargs.get("seed", 0))
         self.synthetic = not (root and os.path.isdir(root))
         if self.synthetic:
             self.points = None
@@ -405,7 +423,7 @@ class ScanObjectNN:
         return len(self.items)
 
     def __getitem__(self, idx):
-        rng = np.random.default_rng(idx + 1)
+        rng = self._rng(idx)
         if self.points is None:
             pos = np.random.default_rng(idx).standard_normal(
                 (self.num_points, 3)).astype(np.float32)

@@ -57,24 +57,25 @@ def get_pred_whole(logits, pos, full_points_list, centers, scales,
     return preds
 
 
-NUM_CLASSES = 17
+import functools
 
 
-@jax.jit
-def _upsample_cm(probs, pos, full_points, center, scale, labels, n_valid):
+@functools.partial(jax.jit, static_argnums=(7,))
+def _upsample_cm(probs, pos, full_points, center, scale, labels, n_valid,
+                 num_classes: int = 17):
     """Fused full-res upsample + per-scan confusion matrix, all on device.
 
     Fetching full-resolution predictions cost one D2H round-trip + ~100 KB
-    per SAMPLE through the axon tunnel (~1 s/scan eval); the (17, 17)
+    per SAMPLE through the axon tunnel (~1 s/scan eval); the (C, C)
     confusion matrix carries everything ``seg_metrics_whole`` needs in 1 KB
     and lets the whole eval pipeline dispatch asynchronously.
     """
     pred = _upsample_pred(probs, pos, full_points, center, scale)
     valid = jnp.arange(pred.shape[0]) < n_valid
-    flat = labels * NUM_CLASSES + pred
-    cm = jnp.zeros((NUM_CLASSES * NUM_CLASSES,), jnp.int32)
+    flat = labels * num_classes + pred
+    cm = jnp.zeros((num_classes * num_classes,), jnp.int32)
     cm = cm.at[flat].add(valid.astype(jnp.int32))
-    return cm.reshape(NUM_CLASSES, NUM_CLASSES)
+    return cm.reshape(num_classes, num_classes)
 
 
 def _metrics_from_cm(cm: np.ndarray):
@@ -85,7 +86,7 @@ def _metrics_from_cm(cm: np.ndarray):
     col = cm.sum(0)
     diag = np.diag(cm)
     ious, dscs = [], []
-    for c in range(1, NUM_CLASSES):       # gum class 0 excluded
+    for c in range(1, cm.shape[0]):       # gum class 0 excluded
         if row[c] == 0:
             continue                       # class absent from ground truth
         union = row[c] + col[c] - diag[c]
@@ -114,6 +115,7 @@ def validate(eval_step, variables, val_loader, cfg, logger=None,
     mandible = {"miou": [], "dsc": [], "acc": []}
     maxillary = {"miou": [], "dsc": [], "acc": []}
     vote_rng = np.random.default_rng(int(cfg.get("seed", 0)) if cfg else 0)
+    num_classes = int(cfg.get("num_classes", 17)) if cfg else 17
     pending_cm, pending_side, pending_acc = [], [], []
 
     # The val/test batches are identical every call (no set_epoch on eval
@@ -174,9 +176,12 @@ def validate(eval_step, variables, val_loader, cfg, logger=None,
         pending_acc.append(jnp.mean(
             (jnp.argmax(logits, -1) == entry["y"]).astype(jnp.float32)))
         probs = jax.nn.softmax(logits, axis=-1)
+        assert probs.shape[-1] == num_classes, \
+            f"cfg.num_classes={num_classes} != model classes {probs.shape[-1]}"
         for i, s in enumerate(entry["samples"]):
             cm = _upsample_cm(probs[i], s["pos"], s["full"], s["center"],
-                              s["scale"], s["labels"], s["n_valid"])
+                              s["scale"], s["labels"], s["n_valid"],
+                              num_classes)
             pending_cm.append(cm)
             pending_side.append(s["side"])
 

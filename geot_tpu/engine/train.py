@@ -278,6 +278,11 @@ def main(cfg: EasyConfig) -> dict:
             else:
                 state = sup_state
 
+        # re-sync the host step counter from device state once per epoch so
+        # step_times.jsonl ids can never drift from checkpointed state.step
+        # (ADVICE r2); piggybacks on the one-fetch-per-epoch budget
+        host_step = int(jax.device_get(state.step))
+
         # single D2H sync per epoch for all scalar + per-class metrics
         ep_mean = {k: np.asarray(v, dtype=np.float64) / max(ep_n, 1)
                    for k, v in jax.device_get(ep_dev).items()} if ep_n else {}

@@ -15,11 +15,15 @@ selection to ``lax.top_k`` for bit-exact parity paths.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+# read ONCE at import: the flag is baked into traces, so late mutation could
+# never affect already-compiled steps anyway (ADVICE r2)
+_EXACT_KNN = os.environ.get("GEOT_EXACT_KNN") == "1"
 _TILE = 2048
 
 
@@ -83,15 +87,16 @@ def knn(query: jnp.ndarray, support: jnp.ndarray, k: int, tile: int = _TILE,
         exact: use full top_k instead of approx_min_k.  ``GEOT_EXACT_KNN=1``
             forces exact selection globally — the parity mode matching the
             reference's exact CUDA kNN (``knnquery_cuda_kernel.cu:21``).
+            The flag is read ONCE at module import (matching its
+            process-level semantics): set it before importing geot_tpu;
+            changing it mid-process has no effect on compiled steps.
         recall_target: per-neighbour recall of the approximate path.
         chunk_size: accepted for backward compat (ignored; tiling is on Q).
 
     Returns:
         (dist, idx): (B, Q, k) ascending distances and int32 indices.
     """
-    import os
-
-    if os.environ.get("GEOT_EXACT_KNN") == "1":
+    if _EXACT_KNN:
         exact = True
     return _knn(query, support, k, tile, squared, exact, recall_target,
                 chunk_size)

@@ -334,3 +334,22 @@ class TestHeritageDatasets:
         d = ds[0]
         assert d["x"].shape == (128, 4)
         assert d["x"][:, 3].min() == 0.0
+
+
+def test_heritage_datasets_epoch_varying_augmentation():
+    """ADVICE r2 (medium): the loader's set_epoch forwarding must change the
+    per-item augmentation RNG on the heritage datasets, deterministically."""
+    from geot_tpu.data.shapenetpart import ShapeNetPart, ScanObjectNN
+
+    for cls, kw in ((ShapeNetPart, {"split": "trainval"}),
+                    (ScanObjectNN, {"split": "train"})):
+        ds = cls(data_root="", num_points=256, **kw)
+        assert hasattr(ds, "epoch")
+        ds.epoch = 0
+        a0 = ds[3]["pos"].copy()
+        ds.epoch = 1
+        a1 = ds[3]["pos"].copy()
+        ds.epoch = 0
+        a0_again = ds[3]["pos"].copy()
+        assert not np.allclose(a0, a1), f"{cls.__name__}: epoch must vary aug"
+        np.testing.assert_allclose(a0, a0_again)

@@ -115,7 +115,8 @@ def test_metrics_from_cm_matches_seg_metrics_whole(rng):
     """The device confusion-matrix eval path must reproduce
     ``seg_metrics_whole`` exactly."""
     from geot_tpu.core.metrics import seg_metrics_whole
-    from geot_tpu.engine.eval import NUM_CLASSES, _metrics_from_cm
+    from geot_tpu.engine.eval import _metrics_from_cm
+    NUM_CLASSES = 17
 
     pred = rng.integers(0, NUM_CLASSES, 5000)
     label = rng.integers(0, NUM_CLASSES, 5000)
