@@ -63,3 +63,149 @@ def rotate_theta_phi(angles: np.ndarray) -> np.ndarray:
     r1_inv = rotate_angle_vector(-theta, v1)
     r2_inv = rotate_angle_vector(-phi, v2)
     return (r1_inv @ r2_inv).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# openpoints heritage utilities (reference ``data_util.py:13-176,231-258``) —
+# voxel-grid sampling + hashing + IO used by the S3DIS/ScanNet-style
+# pipelines.  Not on the GeoT tooth path; ported for surface parity.
+# --------------------------------------------------------------------------
+
+
+from .io import IO  # extension-dispatch reader (reference ``data_util.py:13``)
+
+
+def download_url(url: str, folder: str, log: bool = True, filename=None):
+    """Download ``url`` into ``folder`` (reference ``data_util.py:52-90``);
+    returns the existing path without re-downloading."""
+    import os
+    import ssl
+    import sys
+    import urllib.request
+
+    if filename is None:
+        filename = url.rpartition("/")[2]
+        filename = filename if filename[0] == "?" else filename.split("?")[0]
+    path = os.path.join(folder, filename)
+    if os.path.exists(path):
+        if log:
+            print(f"Using existing file {filename}", file=sys.stderr)
+        return path
+    if log:
+        print(f"Downloading {url}", file=sys.stderr)
+    os.makedirs(folder, exist_ok=True)
+    context = ssl._create_unverified_context()
+    data = urllib.request.urlopen(url, context=context)
+    with open(path, "wb") as f:
+        while True:
+            chunk = data.read(10 * 1024 * 1024)
+            if not chunk:
+                break
+            f.write(chunk)
+    return path
+
+
+def fnv_hash_vec(arr: np.ndarray) -> np.ndarray:
+    """FNV64-1A over integer coordinate rows (reference ``data_util.py:93``),
+    vectorised over the column loop exactly as upstream."""
+    assert arr.ndim == 2
+    arr = arr.copy().astype(np.uint64, copy=False)
+    hashed = np.uint64(14695981039346656037) * np.ones(arr.shape[0],
+                                                       dtype=np.uint64)
+    for j in range(arr.shape[1]):
+        hashed *= np.uint64(1099511628211)
+        hashed = np.bitwise_xor(hashed, arr[:, j])
+    return hashed
+
+
+def ravel_hash_vec(arr: np.ndarray) -> np.ndarray:
+    """Fortran-order ravel of min-shifted coordinates
+    (reference ``data_util.py:106``)."""
+    assert arr.ndim == 2
+    arr = arr.copy()
+    arr -= arr.min(0)
+    arr = arr.astype(np.uint64, copy=False)
+    arr_max = arr.max(0).astype(np.uint64) + 1
+    keys = np.zeros(arr.shape[0], dtype=np.uint64)
+    for j in range(arr.shape[1] - 1):
+        keys += arr[:, j]
+        keys *= arr_max[j + 1]
+    keys += arr[:, -1]
+    return keys
+
+
+def voxelize(coord: np.ndarray, voxel_size=0.05, hash_type: str = "fnv",
+             mode: int = 0, rng: np.random.Generator | None = None):
+    """Voxel-grid subsampling (reference ``data_util.py:124-141``).
+
+    mode 0 (train): one random point per voxel -> index array.
+    mode 1 (val): ``(idx_sort, voxel_idx, count)`` for round-robin covers.
+    ``rng`` replaces the reference's global ``np.random`` (deterministic
+    loaders are the repo convention)."""
+    rng = rng or np.random.default_rng()
+    discrete = np.floor(coord / np.array(voxel_size))
+    key = ravel_hash_vec(discrete) if hash_type == "ravel" \
+        else fnv_hash_vec(discrete)
+    idx_sort = np.argsort(key)
+    key_sort = key[idx_sort]
+    _, voxel_idx, count = np.unique(key_sort, return_counts=True,
+                                    return_inverse=True)
+    if mode == 0:
+        starts = np.cumsum(np.insert(count, 0, 0)[:-1])
+        idx_select = starts + rng.integers(0, count.max(), count.size) % count
+        return idx_sort[idx_select]
+    return idx_sort, voxel_idx, count
+
+
+def crop_pc(coord, feat, label, split: str = "train", voxel_size=0.04,
+            voxel_max=None, downsample: bool = True, variable: bool = True,
+            shuffle: bool = True, rng: np.random.Generator | None = None):
+    """Voxel-downsample then crop/pad to ``voxel_max`` points around a random
+    (train) or central (eval) anchor (reference ``data_util.py:144-172``)."""
+    rng = rng or np.random.default_rng()
+    if voxel_size and downsample:
+        coord = coord - coord.min(0)
+        uniq = voxelize(coord, voxel_size, rng=rng)
+        coord = coord[uniq]
+        feat = feat[uniq] if feat is not None else None
+        label = label[uniq] if label is not None else None
+    if voxel_max is not None:
+        N = len(coord)
+        crop_idx = None
+        if N >= voxel_max:
+            init_idx = rng.integers(N) if "train" in split else N // 2
+            crop_idx = np.argsort(
+                np.square(coord - coord[init_idx]).sum(1))[:voxel_max]
+        elif not variable:
+            pad = rng.choice(N, voxel_max - N)
+            crop_idx = np.hstack([np.arange(N), pad])
+        if crop_idx is None:
+            crop_idx = np.arange(len(coord))
+        if shuffle:
+            crop_idx = crop_idx[rng.permutation(len(crop_idx))]
+        coord = coord[crop_idx]
+        feat = feat[crop_idx] if feat is not None else None
+        label = label[crop_idx] if label is not None else None
+    coord = coord - coord.min(0)
+    return (coord.astype(np.float32),
+            feat.astype(np.float32) if feat is not None else None,
+            label.astype(np.int64) if label is not None else None)
+
+
+def rotate_point_clouds_batch(pc, rotation_matrix, use_normals: bool = False):
+    """Batched view rotation ``einsum('bnc,bdc->bnd')`` on pos (+normals)
+    (reference ``data_util.py:231-247``); numpy or jax arrays."""
+    if isinstance(pc, np.ndarray):
+        einsum = np.einsum
+        cat = np.concatenate
+    else:
+        import jax.numpy as jnp
+
+        einsum = jnp.einsum
+        cat = jnp.concatenate
+    R = rotation_matrix.astype(pc.dtype)
+    if not use_normals:
+        return einsum("bnc,bdc->bnd", pc, R)
+    new_pc = einsum("bnc,bdc->bnd", pc[:, :, :3], R)
+    new_nrm = einsum("bnc,bdc->bnd", pc[:, :, 3:], R)
+    return cat([new_pc, new_nrm], axis=-1)

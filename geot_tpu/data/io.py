@@ -55,4 +55,41 @@ class IO:
             return np.load(path)["data"]
         if ext == ".txt":
             return np.loadtxt(path, dtype=np.float32)
+        if ext == ".h5":
+            import h5py
+
+            with h5py.File(path, "r") as f:
+                return f["data"][()]
+        if ext == ".ply":
+            return _read_ply_xyz(path)
         raise ValueError(f"unsupported extension {ext} ({path})")
+
+
+def _read_ply_xyz(path: str) -> np.ndarray:
+    """Minimal binary/ascii PLY vertex reader (x, y, z properties) — the
+    reference routes .ply through open3d; this keeps IO dependency-free."""
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii", "ignore").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        n = next(int(h.split()[-1]) for h in header
+                 if h.startswith("element vertex"))
+        fmt = next(h.split()[1] for h in header if h.startswith("format"))
+        props = [h.split()[-1] for h in header
+                 if h.startswith("property") and "list" not in h]
+        if fmt == "ascii":
+            rows = np.loadtxt(f, max_rows=n, dtype=np.float64)
+            rows = rows.reshape(n, -1)
+        else:
+            dt = np.dtype([(p, "<f4" if "float" in h.split()[1] else "<f8")
+                           for h, p in zip(
+                               [h for h in header if h.startswith("property")
+                                and "list" not in h], props)])
+            rows = np.frombuffer(f.read(n * dt.itemsize), dtype=dt, count=n)
+            rows = np.stack([rows[p].astype(np.float64) for p in props], -1)
+        cols = [props.index(c) for c in ("x", "y", "z")]
+        return rows[:, cols].astype(np.float32)
+

