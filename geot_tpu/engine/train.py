@@ -71,6 +71,22 @@ def cal_mean_feature(cm_step, variables, loader, num_classes, put):
     return jnp.asarray(cm.astype(np.float32))
 
 
+def cal_confusion(confusion_step, variables, loader, num_classes, put):
+    """Row-normalised hard-label confusion bootstrap — the alternative cm
+    initialiser (reference ``cal_confusion_matrix``, ``train.py:841-866``;
+    upstream's ``cm / (np.sum(cm, 1) + 0.001)`` broadcasts row-sums over
+    columns — repaired to the intended per-row normalisation).  Selected with
+    ``cm_bootstrap: confusion``."""
+    import jax.numpy as jnp
+
+    total = np.zeros((num_classes, num_classes), dtype=np.float64)
+    for batch in loader:
+        total += np.asarray(confusion_step(variables, _model_batch(batch, put)),
+                            dtype=np.float64)
+    cm = total / (total.sum(1, keepdims=True) + 0.001)
+    return jnp.asarray(cm.astype(np.float32))
+
+
 def main(cfg: EasyConfig) -> dict:
     import jax
     import jax.numpy as jnp
@@ -85,6 +101,9 @@ def main(cfg: EasyConfig) -> dict:
     logger = logging.getLogger()
     set_random_seed(cfg.get("seed", 0))
     writer = SummaryWriter(cfg.get("run_dir")) if cfg.get("run_dir") else None
+    # reference launches wandb with git state + cfg capture (``train.py:122``)
+    from .writer import Wandb
+    Wandb.launch(cfg, bool(cfg.get("wandb", {}).get("use_wandb", False)))
 
     num_classes = int(cfg.num_classes)
     semi_mode = "dataset_u" in cfg and "criterion_u_args" in cfg
@@ -179,9 +198,15 @@ def main(cfg: EasyConfig) -> dict:
             jax.random.fold_in(rng, 3), teacher_variables=variables,
             contrast_dim=int(cfg.model.segmentor_args.get("trans_dim", 384)))
         semi_step = make_semi_step(model, model_t, t_predictor, tx, t_tx, cfg)
-        cm_step = make_cm_step(model)
-        state = state.replace(cm=cal_mean_feature(
-            cm_step, state.variables, train_loader_l, num_classes, put))
+        if cfg.get("cm_bootstrap", "mean_feature") == "confusion":
+            from .steps import make_confusion_step
+            state = state.replace(cm=cal_confusion(
+                make_confusion_step(model, num_classes), state.variables,
+                train_loader_l, num_classes, put))
+        else:
+            cm_step = make_cm_step(model)
+            state = state.replace(cm=cal_mean_feature(
+                cm_step, state.variables, train_loader_l, num_classes, put))
     else:
         state = TrainState.create(variables, tx)
         semi_step = None
@@ -330,7 +355,20 @@ def main(cfg: EasyConfig) -> dict:
                                 save_freq=cfg.get("save_freq"))
 
         if epoch % int(cfg.get("test_freq", 250)) == 0 or epoch == int(cfg.epochs):
-            res = validate(eval_step, state.variables, test_loader, cfg, logger)
+            # reference reloads the BEST-val checkpoint before every test
+            # evaluation (``train.py:350-352``) so reported test metrics come
+            # from the best state, not the current one.  Unlike the reference
+            # (whose load persists into subsequent training) the training
+            # state is left untouched.
+            test_vars = state.variables
+            if cfg.get("ckpt_dir"):
+                from .checkpoint import _ckpt_path, load_variables
+                best_path = _ckpt_path(cfg["ckpt_dir"],
+                                       cfg.get("run_name", "run"), "best")
+                if os.path.exists(best_path):
+                    test_vars = load_variables(best_path)
+                    logger.info(f"test eval on best ckpt (epoch {best['epoch']})")
+            res = validate(eval_step, test_vars, test_loader, cfg, logger)
             results["test"] = res
             if writer:
                 for k, v in res.items():
@@ -338,7 +376,7 @@ def main(cfg: EasyConfig) -> dict:
             if int(cfg.get("num_votes", 0) or 0) > 0:
                 from ..data.transforms import build_transforms_from_cfg
                 vote_t = build_transforms_from_cfg("vote", cfg.get("datatransforms"))
-                res_v = validate(eval_step, state.variables, test_loader, cfg,
+                res_v = validate(eval_step, test_vars, test_loader, cfg,
                                  logger, num_votes=int(cfg["num_votes"]),
                                  data_transform=vote_t)
                 results["test_voting"] = res_v

@@ -51,9 +51,27 @@ class SummaryWriter:
             self._tb.close()
 
 
+def git_state(cwd: str | None = None) -> dict:
+    """Commit sha + working-tree diff of the code being run (reference
+    ``Wandb.launch``, ``openpoints/utils/wandb.py:61-71``)."""
+    import subprocess
+
+    try:
+        sha = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=cwd,
+            stderr=subprocess.DEVNULL).decode("ascii").strip()
+        diff = subprocess.check_output(
+            ["git", "diff"], cwd=cwd, stderr=subprocess.DEVNULL).decode()
+    except Exception:
+        sha, diff = "n/a", ""
+    return {"commit": sha, "gitdiff": diff}
+
+
 class Wandb:
     """Facade matching ``openpoints/utils/wandb.py:30`` — real wandb when the
-    package + login exist, silent no-op otherwise."""
+    package + login exist, silent no-op otherwise.  Like the reference, the
+    run config carries run_path + git sha/diff, and the experiment's cfg yaml
+    is saved as a run file (``wandb.py:45-78``)."""
 
     run = None
 
@@ -61,11 +79,18 @@ class Wandb:
     def launch(cls, cfg, use_wandb: bool = False):
         if not use_wandb:
             return None
+        config = {**dict(cfg), "run_path": os.getcwd(),
+                  **git_state(os.path.dirname(os.path.abspath(__file__)))}
         try:
             import wandb  # gated: not in this image
 
             cls.run = wandb.init(project=cfg.get("wandb", {}).get("project", "geot_tpu"),
-                                 name=cfg.get("run_name"), config=dict(cfg))
+                                 name=cfg.get("run_name"), config=config,
+                                 resume="allow", sync_tensorboard=True)
+            cfg_yaml = os.path.join(cfg["run_dir"], "cfg.yaml") \
+                if cfg.get("run_dir") else None
+            if cfg_yaml and os.path.exists(cfg_yaml):
+                wandb.save(cfg_yaml)
         except Exception:
             cls.run = None
         return cls.run
