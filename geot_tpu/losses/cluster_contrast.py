@@ -71,20 +71,32 @@ def _sample_per_class(rng, pred, label, num_classes, n_view):
     return idx, valid
 
 
-def _info_nce(anchors, contrast, pos_mask, extra_neg=None, extra_neg_mask=None,
+def _info_nce(anchors, contrast, pos_mask, contrast_valid=None,
+              extra_neg=None, extra_neg_mask=None,
               temperature=0.1, base_temperature=1.0, drop_self=False,
               anchor_valid=None):
     """Shared InfoNCE core (reference ``_ppc_contrastive_v1``/``_pcc``,
-    ``cluster_contrastloss.py:200-330``)."""
+    ``cluster_contrastloss.py:200-405``).
+
+    In-batch different-class pairs are negatives in BOTH variants — the
+    reference's queue variant keeps them too (``neg_logits_raw``,
+    ``cluster_contrastloss.py:320-331``) and ADDS the queue negatives on top.
+    ``contrast_valid`` masks padded fixed-shape slots out of the negative set
+    (the reference's ragged sampling never produces invalid contrasts)."""
     M = anchors.shape[0]
     logits = (anchors @ contrast.T) / temperature
+    if contrast_valid is not None:
+        # padded slots may hold junk: keep them out of the row-max shift
+        # (a junk max underflows every real logit) and out of the exp sums
+        logits = jnp.where(contrast_valid[None, :], logits, -1e9)
     logits = logits - jax.lax.stop_gradient(jnp.max(logits, 1, keepdims=True))
+    neg_mask = 1.0 - pos_mask          # before self-pair removal (ref :320)
+    if contrast_valid is not None:
+        neg_mask = neg_mask * contrast_valid[None, :].astype(neg_mask.dtype)
     if drop_self:
         eye = jnp.eye(M)
         pos_mask = pos_mask * (1 - eye)
-    neg_mask = (1.0 - pos_mask) if extra_neg is None else (1.0 - pos_mask)
-    if drop_self:
-        neg_mask = neg_mask * (1 - jnp.eye(M))
+        neg_mask = neg_mask * (1 - eye)
     neg_logits = jnp.sum(jnp.exp(logits) * neg_mask, axis=1, keepdims=True)
     if extra_neg is not None:
         ln = (anchors @ extra_neg.T) / temperature
@@ -163,7 +175,7 @@ def class_contrast_loss(state: ClassContrastState, rng, feats, pred, label,
     q_ids = jnp.repeat(jnp.arange(P), state.queues.shape[1])
     queue_neg_mask = (y[:, None] != q_ids[None, :]).astype(jnp.float32)
 
-    ppc = _info_nce(a, c, pos_mask, extra_neg=queue_flat,
+    ppc = _info_nce(a, c, pos_mask, contrast_valid=v, extra_neg=queue_flat,
                     extra_neg_mask=queue_neg_mask, temperature=temperature,
                     drop_self=teacher_feats is None, anchor_valid=v)
     center_pos = jax.nn.one_hot(y, P) * v[:, None]

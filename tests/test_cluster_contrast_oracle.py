@@ -1,0 +1,151 @@
+"""Reference-oracle parity for the cluster-contrast family (VERDICT r2 #6).
+
+Loads ``utils/cluster_contrastloss.py`` as a torch oracle (cuda + torch_scatter
+stubbed) and compares ``class_contrast_loss`` against the reference's
+``nativeContrastLoss_class`` pieces under MATCHED sampling: every
+(cloud, class) carries exactly n_view/2 hard and n_view/2 easy points, so both
+implementations deterministically select the same anchor SET (both losses are
+permutation-invariant in the anchors) and the loss/center updates must agree.
+"""
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/utils/cluster_contrastloss.py"
+pytestmark = pytest.mark.skipif(not os.path.isfile(REF),
+                                reason="reference checkout not available")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from geot_tpu.losses.cluster_contrast import (ClassContrastState,  # noqa: E402
+                                              class_contrast_loss)
+
+C, D, NV, Q = 17, 64, 100, 150
+B = 2
+N = C * NV     # every class: NV/2 hard + NV/2 easy per cloud
+
+
+def _load_ref(monkeypatch):
+    ts = types.ModuleType("torch_scatter")
+
+    def scatter_mean(src, index, dim=0, dim_size=None):  # unused by _class
+        raise NotImplementedError
+
+    ts.scatter_mean = scatter_mean
+    ts.scatter_max = scatter_mean
+    monkeypatch.setitem(sys.modules, "torch_scatter", ts)
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+    spec = importlib.util.spec_from_file_location("ref_ccl", REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _data(seed):
+    rng = np.random.default_rng(seed)
+    feats = rng.standard_normal((B, N, D)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    pred = np.zeros((B, N), np.int64)
+    label = np.zeros((B, N), np.int64)
+    for c in range(C):
+        sl = slice(c * NV, (c + 1) * NV)
+        pred[:, sl] = c
+        label[:, sl.start:sl.start + NV // 2] = (c + 1) % C   # hard
+        label[:, sl.start + NV // 2:sl.stop] = c              # easy
+    return feats, pred, label
+
+
+def test_class_contrast_matches_reference(monkeypatch):
+    mod = _load_ref(monkeypatch)
+    torch.manual_seed(0)
+    ref = mod.nativeContrastLoss_class()
+
+    feats, pred, label = _data(0)
+
+    # ---- reference pieces, sequenced exactly like its forward ------------
+    tX = torch.tensor(feats)
+    # reference forward normalises then samples with (y_hat, y) roles
+    X_, y_ = ref._assigning_subclass_labels(tX, torch.tensor(pred),
+                                            torch.tensor(label))
+    assert X_.shape[0] == B * C * NV, "matched sampling must keep every slot"
+    ppc_ref = ref._ppc_contrastive_v1(X_, y_)
+    pcc_ref = ref._pcc_contrastive(X_, y_)
+    loss_ref = float(pcc_ref * 10 + ppc_ref)
+
+    # reference center update (forward :381-391)
+    for cls_id in range(C):
+        cur = X_[(y_ == cls_id).squeeze(-1) if y_.ndim > 1 else (y_ == cls_id)]
+        ref.new_cluster_center[cls_id] = cur.mean(0).detach()
+    ref._update_operations()
+
+    # ---- ours, seeded with the reference's initial state -----------------
+    torch.manual_seed(0)
+    init = mod.nativeContrastLoss_class()   # fresh copy of the same init
+    state = ClassContrastState(
+        centers=jnp.asarray(init.cluster_center.numpy()),
+        queues=jnp.asarray(init.point_queue.numpy()),
+        ptrs=jnp.zeros((C,), jnp.int32))
+
+    loss_our, new_state = class_contrast_loss(
+        state, jax.random.PRNGKey(0), jnp.asarray(feats),
+        jnp.asarray(pred), jnp.asarray(label), num_classes=C, n_view=NV,
+        temperature=0.1, mu=0.99, pixel_update=30, pcc_weight=10.0)
+
+    assert float(loss_our) == pytest.approx(loss_ref, rel=2e-4), \
+        (float(loss_our), loss_ref)
+    np.testing.assert_allclose(np.asarray(new_state.centers),
+                               ref.cluster_center.numpy(), atol=2e-5)
+
+
+def test_queue_update_structure(monkeypatch):
+    """Queue randomness can't be matched draw-for-draw; assert the structural
+    contract instead: each prototype's pointer advances by pixel_update and
+    the overwritten slots hold (normalised) features of that class."""
+    feats, pred, label = _data(1)
+    state = ClassContrastState.create(jax.random.PRNGKey(1), C, D, Q)
+    _, new_state = class_contrast_loss(
+        state, jax.random.PRNGKey(2), jnp.asarray(feats), jnp.asarray(pred),
+        jnp.asarray(label), num_classes=C, n_view=NV, pixel_update=30)
+    assert (np.asarray(new_state.ptrs) == 30).all()
+    fn = np.asarray(jnp.asarray(feats) /
+                    (jnp.linalg.norm(jnp.asarray(feats), axis=-1,
+                                     keepdims=True) + 1e-12))
+    for c in range(0, C, 5):
+        rows = np.asarray(new_state.queues[c, :30])
+        pool = fn[:, c * NV:(c + 1) * NV].reshape(-1, D)
+        d = np.linalg.norm(rows[:, None] - pool[None], axis=-1).min(1)
+        assert d.max() < 1e-5, f"class {c} enqueued foreign features"
+
+
+def test_info_nce_invalid_slots_do_not_leak_into_negatives():
+    """Fixed-shape validity (round-3 fix): padded slots with junk features
+    must contribute neither positives nor negatives — the padded loss equals
+    the compact valid-only loss exactly."""
+    from geot_tpu.losses.cluster_contrast import _info_nce
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((10, 8)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=-1, keepdims=True)
+    y = np.array([0, 0, 1, 1, 2, 2, 0, 1, 2, 2])
+    v = np.array([True] * 6 + [False] * 4)
+    a_junk = a.copy()
+    a_junk[6:] *= 100.0          # junk magnitudes in the padded slots
+
+    same = (y[:, None] == y[None, :]).astype(np.float32)
+    pos_pad = same * (v[:, None] & v[None, :])
+    padded = _info_nce(jnp.asarray(a_junk), jnp.asarray(a_junk),
+                       jnp.asarray(pos_pad), contrast_valid=jnp.asarray(v),
+                       drop_self=True, anchor_valid=jnp.asarray(v))
+
+    same6 = (y[:6, None] == y[None, :6]).astype(np.float32)
+    compact = _info_nce(jnp.asarray(a[:6]), jnp.asarray(a[:6]),
+                        jnp.asarray(same6), drop_self=True)
+    assert float(padded) == pytest.approx(float(compact), rel=1e-5)
