@@ -102,7 +102,7 @@ def _metrics_from_cm(cm: np.ndarray):
 
 def validate(eval_step, variables, val_loader, cfg, logger=None,
              num_votes: int = 0, data_transform=None,
-             bucket: int = 8192) -> Dict[str, float]:
+             bucket: int = 8192, mesh=None) -> Dict[str, float]:
     """Reference ``validate`` (``train.py:716-779``): whole-scan metrics split
     into mandible (cls 0) / maxillary (cls 1) / whole means.
 
@@ -111,7 +111,13 @@ def validate(eval_step, variables, val_loader, cfg, logger=None,
     work pipelines with host-side loading — then fetched in one sync.
 
     ``num_votes > 0``: average softmax over additional augmented passes using
-    the ``vote`` transform pipeline (reference ``train.py:365-375``)."""
+    the ``vote`` transform pipeline (reference ``train.py:365-375``).
+
+    ``mesh``: dp-shard the model batches over the mesh (GSPMD eval forward,
+    matching the reference's DDP validation ``train.py:717``) and round-robin
+    the per-scan upsample+confusion programs across the mesh's devices so
+    they run concurrently; metrics are placement-invariant (asserted by
+    ``test_dp_parity.py::test_dp_eval_matches_single_device``)."""
     mandible = {"miou": [], "dsc": [], "acc": []}
     maxillary = {"miou": [], "dsc": [], "acc": []}
     vote_rng = np.random.default_rng(int(cfg.get("seed", 0)) if cfg else 0)
@@ -125,15 +131,23 @@ def validate(eval_step, variables, val_loader, cfg, logger=None,
     # after the first pass; later validations are device-bound.
     use_cache = bool(cfg.get("eval_device_cache", True)) if cfg else True
     cache = getattr(val_loader, "_geot_eval_cache", None) if use_cache else None
+    if mesh is not None:
+        from ..parallel import shard_batch
+        put_model = lambda d: shard_batch(d, mesh)          # noqa: E731
+        devs = list(mesh.devices.flat)
+    else:
+        put_model = lambda d: jax.tree_util.tree_map(jnp.asarray, d)  # noqa: E731
+        devs = [None]
+    n_sample = 0
     if cache is None:
         cache = []
         for batch in val_loader:
             entry = {
-                "model_batch": {"pos": jnp.asarray(batch["pos"]),
-                                "x": jnp.asarray(batch["x"]),
-                                "cls": jnp.asarray(batch["cls"])},
+                "model_batch": put_model({"pos": batch["pos"],
+                                          "x": batch["x"],
+                                          "cls": batch["cls"]}),
                 "pos_host": np.asarray(batch["pos"]),
-                "y": jnp.asarray(batch["y"]),
+                "y": put_model({"y": batch["y"]})["y"],
                 "samples": [],
             }
             for i, full in enumerate(batch["points"]):
@@ -144,16 +158,24 @@ def validate(eval_step, variables, val_loader, cfg, logger=None,
                 padded[:P] = full
                 lab = np.zeros((padded_len,), dtype=np.int32)
                 lab[:P] = np.asarray(batch["labels"][i], dtype=np.int32)
-                entry["samples"].append({
-                    "pos": jnp.asarray(batch["pos"][i]),
-                    "full": jnp.asarray(padded),
-                    "labels": jnp.asarray(lab),
-                    "center": jnp.asarray(np.asarray(batch["center"][i],
-                                                     np.float32)),
-                    "scale": jnp.asarray(np.float32(batch["scale"][i])),
-                    "n_valid": jnp.int32(P),
-                    "side": int(np.asarray(batch["cls"][i]).reshape(-1)[0]),
-                })
+                dev = devs[n_sample % len(devs)]
+                n_sample += 1
+                placed = {
+                    "pos": np.asarray(batch["pos"][i]),
+                    "full": padded,
+                    "labels": lab,
+                    "center": np.asarray(batch["center"][i], np.float32),
+                    "scale": np.float32(batch["scale"][i]),
+                    "n_valid": np.int32(P),
+                }
+                if dev is not None:
+                    placed = {k: jax.device_put(v, dev)
+                              for k, v in placed.items()}
+                else:
+                    placed = {k: jnp.asarray(v) for k, v in placed.items()}
+                placed["side"] = int(np.asarray(batch["cls"][i]).reshape(-1)[0])
+                placed["device"] = dev
+                entry["samples"].append(placed)
             cache.append(entry)
         if use_cache:
             val_loader._geot_eval_cache = cache
@@ -179,7 +201,12 @@ def validate(eval_step, variables, val_loader, cfg, logger=None,
         assert probs.shape[-1] == num_classes, \
             f"cfg.num_classes={num_classes} != model classes {probs.shape[-1]}"
         for i, s in enumerate(entry["samples"]):
-            cm = _upsample_cm(probs[i], s["pos"], s["full"], s["center"],
+            probs_i = probs[i]
+            if s.get("device") is not None:
+                # colocate the forward output row with the sample's device so
+                # the per-scan program runs there (round-robin concurrency)
+                probs_i = jax.device_put(probs_i, s["device"])
+            cm = _upsample_cm(probs_i, s["pos"], s["full"], s["center"],
                               s["scale"], s["labels"], s["n_valid"],
                               num_classes)
             pending_cm.append(cm)

@@ -331,7 +331,8 @@ def main(cfg: EasyConfig) -> dict:
                         writer.add_scalar(f"{tag}_{ji}", float(v), epoch)
 
         if epoch % int(cfg.get("val_freq", 250)) == 0 or epoch == int(cfg.epochs):
-            res = validate(eval_step, state.variables, val_loader, cfg, logger)
+            res = validate(eval_step, state.variables, val_loader, cfg, logger,
+                           mesh=mesh)
             results["val"] = res
             if hasattr(schedule, "note_metric"):  # plateau scheduler feedback
                 schedule.note_metric(res["whole_miou"])
@@ -368,7 +369,8 @@ def main(cfg: EasyConfig) -> dict:
                 if os.path.exists(best_path):
                     test_vars = load_variables(best_path)
                     logger.info(f"test eval on best ckpt (epoch {best['epoch']})")
-            res = validate(eval_step, test_vars, test_loader, cfg, logger)
+            res = validate(eval_step, test_vars, test_loader, cfg, logger,
+                           mesh=mesh)
             results["test"] = res
             if writer:
                 for k, v in res.items():
@@ -378,7 +380,7 @@ def main(cfg: EasyConfig) -> dict:
                 vote_t = build_transforms_from_cfg("vote", cfg.get("datatransforms"))
                 res_v = validate(eval_step, test_vars, test_loader, cfg,
                                  logger, num_votes=int(cfg["num_votes"]),
-                                 data_transform=vote_t)
+                                 data_transform=vote_t, mesh=mesh)
                 results["test_voting"] = res_v
                 if writer:
                     for k, v in res_v.items():

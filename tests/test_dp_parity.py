@@ -165,3 +165,42 @@ def test_dp8_sharded_inference_matches_single_device():
     b_sh = shard_batch(batch, mesh)
     logits_8 = np.asarray(step(v_sh, b_sh))
     np.testing.assert_allclose(logits_8, logits_1, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_dp_eval_matches_single_device():
+    """VERDICT r2 #4: mesh-aware evaluation — validate() with a dp mesh
+    (sharded forward + per-scan programs round-robined over devices) must
+    reproduce single-device metrics exactly."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (run via scripts/test.sh)")
+    from geot_tpu.core.config import EasyConfig
+    from geot_tpu.data import build_dataloader_from_cfg
+    from geot_tpu.engine.eval import validate
+    from geot_tpu.engine.steps import make_eval_step
+
+    model = build_model_from_cfg({"NAME": "WholePartSeg",
+                                  "segmentor_args": dict(SEG_ARGS)})
+    key = jax.random.PRNGKey(0)
+    pos = jnp.zeros((2, N, 3))
+    variables = jax.jit(model.init)(
+        {"params": key, "dropout": jax.random.fold_in(key, 1)},
+        {"pos": pos, "x": pos, "cls": jnp.zeros((2, 1), jnp.int32)})
+    ds_cfg = {"common": {"NAME": "TeethSegSemiLDataset",
+                         "data_root": "/nonexistent", "num_points": N},
+              "val": {"split": "val"}}
+    dt_cfg = {"val": ["PointsToTensor", "PointCloudCenterAndNormalize"],
+              "kwargs": {"gravity_dim": 1}}
+
+    def fresh_loader():
+        return build_dataloader_from_cfg(2, ds_cfg, {"num_workers": 1},
+                                         dt_cfg, split="val")
+
+    step = make_eval_step(model)
+    cfg = EasyConfig({"seed": 0, "num_classes": 17})
+    res_1 = validate(step, variables, fresh_loader(), cfg)
+    mesh = make_mesh(jax.devices()[:8], dp=8, tp=1)
+    res_8 = validate(step, shard_state(variables, mesh), fresh_loader(), cfg,
+                     mesh=mesh)
+    for k, v in res_1.items():
+        assert res_8[k] == pytest.approx(v, abs=1e-6), k
