@@ -45,10 +45,16 @@ def main():
     seg_args = dict(FLAGSHIP_SEG_ARGS)
     # bf16 compute path (+36% measured); BENCH_DTYPE=float32 for the f32 number
     seg_args["dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
-    # BENCH_FAST_PYRAMID=1 benches the serving mode (stratified decoder
-    # pyramid; -0.3% sampled acc measured on a trained ckpt)
-    if os.environ.get("BENCH_FAST_PYRAMID") == "1":
+    # Serving default: stratified decoder pyramid — true-FPS prefix of 1024
+    # + bit-reversed-Morton fill above (quality-neutral: val mIoU -0.08 vs
+    # the exact pyramid on the committed 300-epoch ckpt, 133 vs 96 scans/s;
+    # log/fast_pyramid_eval.json).  BENCH_FAST_PYRAMID overrides: "0" =
+    # exact full-FPS pyramid, "1" = tokenizer-only FPS, int = prefix length.
+    fp = os.environ.get("BENCH_FAST_PYRAMID", "1024")
+    if fp == "1":
         seg_args["fast_pyramid"] = True
+    elif fp != "0":
+        seg_args["fast_pyramid"] = int(fp)
     model, variables, _ = _build(seg_args, N_POINTS, BATCH)
 
     # reduce to a scalar on device: forces full compute per call with a

@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops import (fps, gather_points, grouping_operation, knn,
-                    three_interpolation)
+from ...ops import (fps, fps_stratified, gather_points, grouping_operation,
+                    knn, three_interpolation)
 from ..build import MODELS
 from ..layers.common import DropPath, MlpBlock, SharedMLP, drop_path_rates
 from ..layers.group_embed import GroupTokenizer
@@ -248,7 +248,11 @@ class _PointTransformerSegBase(nn.Module):
     with_T: bool = False
     head_mode: str = "plain"     # plain | cluster | classifier
     dtype: Any = None            # computation dtype (e.g. bf16); params stay f32
-    fast_pyramid: bool = False   # serving mode: stratified decoder pyramid
+    # serving mode: stratified decoder pyramid. False = full FPS run;
+    # True = FPS for the num_group tokenizer centers only; int L = FPS for
+    # the first L selections (tokenizer + coarse levels), permutation-fill
+    # the rest (quality-neutral at L=2048, see log/fast_pyramid_eval.json)
+    fast_pyramid: bool | int = False
 
     @nn.compact
     def __call__(self, pts, x=None, cls_label=None, T=None,
@@ -263,22 +267,26 @@ class _PointTransformerSegBase(nn.Module):
         # 1037-1040``) collapse into a single kernel call with identical
         # results (same start-at-0 convention).
         #
-        # fast_pyramid (serving): FPS only selects the num_group tokenizer
-        # centers; the decoder pyramid (half-density and below, where greedy
-        # FPS approximates uniform coverage) uses a FIXED pseudo-random
-        # permutation of the input order — prefix property preserved, and the
-        # sequential FPS loop shrinks ~16x.
+        # fast_pyramid (serving): the sequential FPS chain only runs for the
+        # first L selections (L = num_group when True, or the given int —
+        # e.g. 2048 covers the tokenizer AND the coarsest decoder levels with
+        # TRUE farthest-point samples); the remaining pyramid rows are filled
+        # from a FIXED pseudo-random permutation of the NOT-YET-SELECTED
+        # points (exact complement, so levels stay sample-without-replacement
+        # like a real FPS run).  At half density and below greedy FPS
+        # approximates uniform coverage, which is what the permutation fill
+        # provides — quality evidence in log/fast_pyramid_eval.json.
         if self.fast_pyramid:
-            fps_idx = fps(pts, self.num_group)
-            perm = np.random.default_rng(0).permutation(N)
-            fps_pts = jnp.take(pts, jnp.asarray(perm), axis=1)
+            L = self.num_group if self.fast_pyramid is True \
+                else max(int(self.fast_pyramid), self.num_group)
+            max_n = max(max(self.downsample_targets), L)
+            fps_pts = gather_points(pts, fps_stratified(pts, max_n, L))
         else:
             max_n = max(max(self.downsample_targets), self.num_group)
             fps_idx = fps(pts, max_n)
             fps_pts = gather_points(pts, fps_idx)
 
-        center = (gather_points(pts, fps_idx) if self.fast_pyramid
-                  else fps_pts[:, : self.num_group])
+        center = fps_pts[:, : self.num_group]
         _, knn_idx = knn(center, pts, self.group_size)
         neighborhood = grouping_operation(pts, knn_idx) - center[:, :, None, :]
         tokens = MiniPointNetEncoder(self.encoder_dims, dtype=self.dtype,

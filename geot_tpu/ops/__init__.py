@@ -14,7 +14,7 @@ shapes so XLA can fuse through them; there is no ragged offset layout.
 Gradients come from autodiff (no hand-written backward kernels).
 """
 from .knn import knn, knn_point, pairwise_dist2
-from .fps import fps, fps_gather, fps_weighted
+from .fps import fps_stratified, fps, fps_gather, fps_weighted
 from .ball_query import ball_query
 from .group import gather_points, grouping_operation, index_points
 from .interpolate import three_nn, three_interpolate, three_interpolation
@@ -23,7 +23,7 @@ from .vector_attn import subtraction, aggregation
 from .subsample import grid_subsample, random_sample
 
 __all__ = [
-    "knn", "knn_point", "pairwise_dist2",
+    "fps_stratified", "knn", "knn_point", "pairwise_dist2",
     "fps", "fps_gather", "fps_weighted",
     "ball_query",
     "gather_points", "grouping_operation", "index_points",

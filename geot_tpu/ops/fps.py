@@ -86,3 +86,57 @@ def fps_gather(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     ``fps`` in the backbone (``openpoints/models/backbone/transformer.py:266``)."""
     idx = fps(xyz, npoint)
     return jnp.take_along_axis(xyz, idx[..., None], axis=1)
+
+
+def _bitrev_schedule(n: int) -> "np.ndarray":
+    """Static bit-reversed visit order of 0..n-1 (van der Corput): every
+    prefix of the returned sequence is evenly spread over [0, n)."""
+    import numpy as np
+
+    bits = max(1, (n - 1).bit_length())
+    idx = np.arange(1 << bits)
+    rev = np.zeros_like(idx)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev[rev < n]
+
+
+def fps_stratified(xyz: jnp.ndarray, npoint: int, fps_prefix: int,
+                   perm_seed: int = 0, fill: str = "morton") -> jnp.ndarray:
+    """Stratified pyramid sampling: TRUE farthest-point selection for the
+    first ``fps_prefix`` indices, then fill to ``npoint`` from the
+    not-yet-selected points (exact complement — the result is
+    sample-without-replacement like a full FPS run, and every prefix of the
+    first ``fps_prefix`` rows is a true FPS prefix).
+
+    ``fill="morton"`` (default) visits the complement along the cloud's
+    Morton curve in BIT-REVERSED order: prefixes of the fill are hierarchical
+    octree strata, i.e. near-uniform spatial coverage at every length — the
+    property that makes the fine pyramid levels quality-neutral
+    (``log/fast_pyramid_eval.json``; a plain pseudo-random permutation fill
+    costs ~0.25 val mIoU because the FINEST level's worst-case coverage gap
+    drives the final 3-NN upsample).  ``fill="perm"`` keeps that cheaper but
+    weaker variant."""
+    import numpy as np
+
+    B, N, _ = xyz.shape
+    fps_prefix = min(fps_prefix, npoint)
+    head = fps(xyz, fps_prefix)                                   # (B, L)
+    if fps_prefix == npoint:
+        return head
+    if fill == "morton":
+        from .morton import morton_codes
+
+        curve = jnp.argsort(morton_codes(xyz), axis=-1)           # (B, N)
+        seq = jnp.asarray(_bitrev_schedule(N))
+        cand = jnp.take_along_axis(curve, seq[None, :].repeat(B, 0), axis=1)
+    else:
+        perm = jnp.asarray(np.random.default_rng(perm_seed).permutation(N))
+        cand = jnp.broadcast_to(perm[None, :], (B, N))
+    taken = jnp.zeros((B, N), bool).at[
+        jnp.arange(B)[:, None], head].set(True)
+    taken_c = jnp.take_along_axis(taken, cand, axis=1)
+    # stable sort moves un-taken candidates (in schedule order) to the front
+    order = jnp.argsort(taken_c, axis=1, stable=True)
+    tail = jnp.take_along_axis(cand, order, axis=1)[:, : npoint - fps_prefix]
+    return jnp.concatenate([head, tail], axis=1)

@@ -315,3 +315,30 @@ class TestEvalShapeThreeNNAgreement:
         # d2 sums differ by the fma association order only (<= 1 ulp)
         np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_e),
                                    rtol=3e-7, atol=1e-12)
+
+
+class TestFPSStratified:
+    def test_prefix_is_true_fps_and_rows_unique(self, rng):
+        from geot_tpu.ops import fps, fps_stratified
+
+        pts = jnp.asarray(rng.standard_normal((2, 500, 3)).astype(np.float32))
+        idx = np.asarray(fps_stratified(pts, 256, 64))
+        head = np.asarray(fps(pts, 64))
+        np.testing.assert_array_equal(idx[:, :64], head)
+        for b in range(2):
+            assert len(set(idx[b])) == 256, "sample-without-replacement"
+
+    def test_full_prefix_equals_fps(self, rng):
+        from geot_tpu.ops import fps, fps_stratified
+
+        pts = jnp.asarray(rng.standard_normal((1, 200, 3)).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(fps_stratified(pts, 128, 128)),
+                                      np.asarray(fps(pts, 128)))
+
+    def test_tail_is_deterministic_fixed_permutation(self, rng):
+        from geot_tpu.ops import fps_stratified
+
+        pts = jnp.asarray(rng.standard_normal((1, 300, 3)).astype(np.float32))
+        i1 = np.asarray(fps_stratified(pts, 200, 50))
+        i2 = np.asarray(fps_stratified(pts, 200, 50))
+        np.testing.assert_array_equal(i1, i2)
