@@ -43,6 +43,7 @@ def main():
     for mode in (False, True, 1024, 2048):
         seg = dict(cfg.model.segmentor_args)
         seg.pop("pretrained_path", None)
+        seg.pop("fast_pyramid", None)   # run cfg may bake a serving mode in
         if mode:
             seg["fast_pyramid"] = mode
         model = build_model_from_cfg({"NAME": "WholePartSeg",
@@ -57,8 +58,10 @@ def main():
         # each mode retraces; drop the loader cache? no — cache is
         # device-resident inputs only, shared across modes safely
 
-    with open("log/fast_pyramid_eval.json", "w") as f:
-        json.dump(results, f, indent=2)
+    out = os.environ.get("FP_EVAL_OUT")
+    if out:                      # opt-in: don't clobber committed evidence
+        with open(out, "w") as f:
+            json.dump(results, f, indent=2)
     print(json.dumps(results["modes"]))
 
 

@@ -26,6 +26,8 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--top", type=int, default=20)
+    p.add_argument("--fast-pyramid", default="0",
+                   help="0=exact, 1=tokenizer-only, int=stratified prefix")
     args = p.parse_args()
 
     import jax
@@ -36,6 +38,10 @@ def main():
 
     seg = dict(FLAGSHIP_SEG_ARGS)
     seg["dtype"] = args.dtype
+    if args.fast_pyramid == "1":
+        seg["fast_pyramid"] = True
+    elif args.fast_pyramid != "0":
+        seg["fast_pyramid"] = int(args.fast_pyramid)
     model, variables, _ = _build(seg, 16000, args.batch)
     fwd = jax.jit(lambda v, b: jnp.sum(model.apply(v, b)[0]))
     rng = np.random.default_rng(0)
