@@ -275,3 +275,38 @@ class TeethSegFinetuneDataset(_TeethBase):
         if self.transform is not None:
             data = self.transform(data, rng)
         return data
+
+
+@DATASETS.register_module(name="TeethClsDataset")
+class TeethClsDataset(_TeethBase):
+    """Jaw classification (lower/upper) over full scans
+    (reference ``tooth_dataset.py:510-617``): ``y`` is the jaw id, ``x`` is
+    pos + height-above-min channel (gravity dim 2), random 16k sampling of
+    the unit-sphere-normalised cloud."""
+
+    classes = ["lower", "upper"]
+    num_classes = 2
+    gravity_dim = 2
+
+    def __init__(self, data_root="", num_points=16000, split="train",
+                 transform=None, **kwargs):
+        super().__init__(data_root, num_points, split,
+                         f"full_{split}_finetune.txt", **kwargs)
+        self.num_classes = 2      # _TeethBase sets the 17-class seg default
+        self.transform = transform
+
+    def __getitem__(self, idx):
+        sample = self.file_list[idx]
+        rng = self._rng(idx)
+        points, _labels = self._load(sample)
+        points_norm, _center, _scale = pc_norm(points)
+        sel = rng.choice(len(points_norm), self.num_points, replace=True)
+        spts = points_norm[sel].astype(np.float32)
+        g = self.gravity_dim
+        h = spts[:, g:g + 1] - spts[:, g:g + 1].min()
+        data = {"pos": spts,
+                "y": np.asarray([sample["location"]], dtype=np.int64),
+                "x": np.concatenate([spts, h], axis=1)}
+        if self.transform is not None:
+            data = self.transform(data, rng)
+        return data

@@ -375,3 +375,21 @@ def test_two_shard_loader_disjoint_coverage():
         assert set(i0) | set(i1) == set(range(len(ds))), \
             "shards must cover the dataset"
     assert indices(0, 1) != indices(0, 2), "shuffle must vary by epoch"
+
+
+def test_teeth_cls_dataset_payload():
+    """TeethClsDataset (reference tooth_dataset.py:510): jaw-id label, pos +
+    height feature channel, epoch-varying sampling."""
+    from geot_tpu.data import DATASETS
+
+    ds = DATASETS.build({"NAME": "TeethClsDataset", "data_root": "",
+                         "num_points": 128})
+    assert ds.num_classes == 2
+    d = ds[1]
+    assert d["pos"].shape == (128, 3) and d["x"].shape == (128, 4)
+    assert d["y"].shape == (1,) and d["y"][0] in (0, 1)
+    np.testing.assert_allclose(d["x"][:, :3], d["pos"])
+    assert d["x"][:, 3].min() == 0  # height above min
+    ds.epoch = 1
+    d2 = ds[1]
+    assert not np.allclose(d["pos"], d2["pos"])

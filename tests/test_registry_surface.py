@@ -58,7 +58,8 @@ REFERENCE_TRANSFORMS = [
 ]
 
 REFERENCE_DATASETS = [
-    "TeethSegSemiLDataset", "TeethSegSemiUDataset", "tooth_6000",
+    "TeethSegSemiLDataset", "TeethSegSemiUDataset", "TeethClsDataset",
+    "tooth_6000",
     "tooth_6000_pca", "TeethSegFinetuneDataset", "ShapeNetPartNormal",
     "ShapeNet55", "ScanObjectNN", "ShapeNetPart", "ShapeNetPartCurve",
     "ShapeNet",
