@@ -10,10 +10,10 @@ under pjit) instead of in-place torch buffer mutation.
 AdamP/SGDP use the reference's exact two-stage projection (channel view
 first, flattened layer view as fallback — ``adamp.py:25``), verified step-by-
 step against the reference's own torch implementations in
-``tests/test_optim_parity_torch.py``.  AdaHessian is intentionally not
-provided: it needs a second backward pass for the Hutchinson Hessian trace,
-which does not fit the ``GradientTransformation`` interface (and no reference
-config selects it).
+``tests/test_optim_parity_torch.py``.  AdaHessian lives in
+``optim/adahessian.py`` as a ``GradientTransformationExtraArgs`` — the
+Hutchinson Hessian diagonal is one ``jax.jvp`` through the grad fn and is
+passed to ``update(..., hessian_diag=...)``.
 """
 from __future__ import annotations
 

@@ -117,6 +117,18 @@ def _sgdp(lr, momentum=0.9, weight_decay=1e-4, nesterov=True,
                 filter_bias_and_bn=filter_bias_and_bn)
 
 
+@_register("adahessian")
+def _adahessian(lr, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0,
+                hessian_power=1.0, **kw):
+    # second-order: update() requires the extra ``hessian_diag`` pytree —
+    # compute it per step with ``optim.adahessian.hutchinson_diag`` (one
+    # jax.jvp through the grad fn; the reference needs a full double
+    # backward, ``openpoints/optim/adahessian.py:75-100``)
+    from .adahessian import adahessian
+    return adahessian(lr, b1=betas[0], b2=betas[1], eps=eps,
+                      weight_decay=weight_decay, hessian_power=hessian_power)
+
+
 @_register("madgrad")
 def _madgrad(lr, momentum=0.9, weight_decay=0.0, eps=1e-6, **kw):
     from .extra import madgrad

@@ -18,7 +18,10 @@ class TestOptim:
         for name in sorted(set(_OPTIMIZERS)):
             tx = build_optimizer_from_cfg(None, lr=1e-2, NAME=name)
             state = tx.init(params)
-            updates, _ = tx.update(grads, state, params)
+            extra = {}
+            if name == "adahessian":   # second-order: needs the diag pytree
+                extra["hessian_diag"] = grads
+            updates, _ = tx.update(grads, state, params, **extra)
             new = optax.apply_updates(params, updates)
             assert not np.allclose(np.asarray(new["dense"]["kernel"]),
                                    np.asarray(params["dense"]["kernel"])), name
