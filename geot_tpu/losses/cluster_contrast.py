@@ -114,6 +114,52 @@ def _info_nce(anchors, contrast, pos_mask, contrast_valid=None,
     return jnp.sum(jnp.where(has_pos, per, 0.0)) / denom
 
 
+# reference confidence-quantile split boundaries for the K=6 subclass
+# variants (``cluster_contrastloss.py:420`` K_split)
+K_SPLIT = (0.95, 0.85, 0.75, 0.65, 0.55)
+
+
+def _sample_subclass_quantile(rng, pred, conf, num_classes, K, n_view_bin):
+    """Subclass sampling exactly as the reference's live
+    ``_assigning_subclass_labels_cur`` branch (``cluster_contrastloss.py:
+    560-583``): per (cloud, class) the confidence QUANTILES of the FULL
+    member population split K bins ([1, q.95, q.85, ..., 0], descending);
+    up to ``n_view_bin`` random members per bin.  A point exactly at a
+    threshold lands in the lower-confidence bin (upstream's inclusive le/ge
+    double-counts it — impossible fixed-shape, measure-zero for continuous
+    confidences).
+
+    Returns idx (B, C*K, n_view_bin), valid."""
+    B, N = pred.shape
+    member = jax.nn.one_hot(pred, num_classes, dtype=bool)        # (B, N, C)
+    confm = jnp.where(member.transpose(0, 2, 1), conf[:, None, :],
+                      jnp.nan)                                    # (B, C, N)
+    qs = jnp.asarray(K_SPLIT[:K - 1])
+    ths = jnp.nanquantile(confm, qs, axis=-1)                     # (K-1, B, C)
+    ths = jnp.nan_to_num(ths, nan=jnp.inf)    # empty class: all bins empty-ish
+    # bin id = number of thresholds >= conf (0 = most confident)
+    bins = jnp.sum(ths[:, :, :, None] >= conf[None, :, None, :],
+                   axis=0)                                        # (B, C, N)
+    g = jax.random.uniform(rng, (B, N))
+
+    def per_bin(member_bc, bins_bc, gb, kk):
+        m = member_bc & (bins_bc == kk)
+        key = jnp.where(m, gb + 2.0, gb)
+        _, i = jax.lax.top_k(key, n_view_bin)
+        return i, m[i]
+
+    def per_class(member_bc, bins_bc, gb):
+        i, v = jax.vmap(per_bin, in_axes=(None, None, None, 0))(
+            member_bc, bins_bc, gb, jnp.arange(K))
+        return i, v                                               # (K, V)
+
+    f = jax.vmap(jax.vmap(per_class, in_axes=(1, 0, None)),
+                 in_axes=(0, 0, 0))
+    idx, valid = f(member, bins, g)                        # (B, C, K, V)
+    return idx.reshape(B, num_classes * K, n_view_bin), \
+        valid.reshape(B, num_classes * K, n_view_bin)
+
+
 def class_contrast_loss(state: ClassContrastState, rng, feats, pred, label,
                         conf: Optional[jnp.ndarray] = None,
                         num_classes: int = 17, n_view: int = 100,
@@ -124,8 +170,10 @@ def class_contrast_loss(state: ClassContrastState, rng, feats, pred, label,
     """One step of the cluster-contrast family; returns (loss, new_state).
 
     - ``subclasses=1``: ``nativeContrastLoss_class``.
-    - ``subclasses=K>1``: the confidence-quantile subclass variants — bins are
-      assigned by confidence rank within each class's sampled slots.
+    - ``subclasses=K>1``: the confidence-quantile subclass variants — per
+      (cloud, class) the FULL member population is split by the reference's
+      ``K_SPLIT`` confidence quantiles and up to ``n_view // K`` members are
+      sampled per bin (reference ``cluster_contrastloss.py:560-583``).
     - ``teacher_feats`` given: ``_subclass_t`` — anchors are student features,
       the contrast set is the teacher's (positives = same (sub)class).
 
@@ -138,30 +186,32 @@ def class_contrast_loss(state: ClassContrastState, rng, feats, pred, label,
             jnp.linalg.norm(teacher_feats, axis=-1, keepdims=True) + 1e-12)
 
     samp_rng, q_rng = jax.random.split(rng)
-    idx, valid = _sample_per_class(samp_rng, pred, label, num_classes, n_view)
+    if subclasses > 1 and conf is not None:
+        n_view_bin = n_view // subclasses     # reference: n_view = 100 // K
+        idx, valid = _sample_subclass_quantile(
+            samp_rng, pred, conf, num_classes, subclasses, n_view_bin)
+        slots_per_cloud = num_classes * subclasses * n_view_bin
+        proto_ids = jnp.broadcast_to(
+            jnp.arange(num_classes * subclasses)[None, :, None],
+            idx.shape)
+    else:
+        n_view_bin = n_view
+        idx, valid = _sample_per_class(samp_rng, pred, label, num_classes,
+                                       n_view)
+        slots_per_cloud = num_classes * n_view
+        proto_ids = jnp.broadcast_to(
+            jnp.arange(num_classes)[None, :, None], idx.shape)
 
     def gather(x):
         flat = idx.reshape(B, -1)
         return jnp.take_along_axis(x, flat[..., None], axis=1).reshape(
-            B, num_classes, n_view, -1)
+            B, idx.shape[1], idx.shape[2], -1)
 
-    anchors = gather(feats)                                   # (B, C, V, D)
+    anchors = gather(feats)                               # (B, slots, V, D)
     contrast_src = gather(teacher_feats) if teacher_feats is not None else anchors
 
-    cls_ids = jnp.broadcast_to(jnp.arange(num_classes)[None, :, None],
-                               (B, num_classes, n_view))
-    if subclasses > 1 and conf is not None:
-        conf_s = jnp.take_along_axis(conf, idx.reshape(B, -1), axis=1).reshape(
-            B, num_classes, n_view)
-        # rank-based quantile bins within each (cloud, class) slot set
-        order = jnp.argsort(jnp.argsort(conf_s, axis=-1), axis=-1)
-        bins = (order * subclasses) // n_view
-        proto_ids = cls_ids * subclasses + bins
-    else:
-        proto_ids = cls_ids
-
     P = num_classes * subclasses
-    M = B * num_classes * n_view
+    M = B * slots_per_cloud
     a = anchors.reshape(M, D)
     c = contrast_src.reshape(M, D)
     y = proto_ids.reshape(M)

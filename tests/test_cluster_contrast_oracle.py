@@ -149,3 +149,76 @@ def test_info_nce_invalid_slots_do_not_leak_into_negatives():
     compact = _info_nce(jnp.asarray(a[:6]), jnp.asarray(a[:6]),
                         jnp.asarray(same6), drop_self=True)
     assert float(padded) == pytest.approx(float(compact), rel=1e-5)
+
+
+def test_subclass_contrast_matches_reference(monkeypatch):
+    """Quantile-binned subclass variant (reference
+    ``nativeContrastLoss_subclass``, ``cluster_contrastloss.py:408-768``)
+    under matched sampling: every (cloud, class) has 20 members with distinct
+    confidences, so every K_split quantile bin holds <= n_view//K points and
+    both implementations select ALL of them."""
+    mod = _load_ref(monkeypatch)
+
+    # real scatter_mean for the reference's center update (stub is a raiser)
+    import sys
+
+    def scatter_mean(src, index, dim=0, dim_size=None):
+        out = torch.zeros((dim_size,) + src.shape[1:], dtype=src.dtype)
+        cnt = torch.zeros(dim_size, dtype=src.dtype)
+        out.index_add_(0, index, src)
+        cnt.index_add_(0, index, torch.ones(len(index), dtype=src.dtype))
+        return out / cnt.clamp(min=1).unsqueeze(-1)
+
+    sys.modules["torch_scatter"].scatter_mean = scatter_mean
+    mod.scatter_mean = scatter_mean
+
+    K = 6
+    P_PER = 20                     # members per (cloud, class)
+    NB = C * P_PER                 # points per cloud
+    rng_np = np.random.default_rng(3)
+    feats = rng_np.standard_normal((B, NB, D)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    pred = np.zeros((B, NB), np.int64)
+    cur = np.zeros((B, NB), np.float32)
+    for c in range(C):
+        sl = slice(c * P_PER, (c + 1) * P_PER)
+        pred[:, sl] = c
+        for bb in range(B):
+            cur[bb, sl] = rng_np.permutation(P_PER) / P_PER + 0.01 * bb
+
+    torch.manual_seed(1)
+    ref = mod.nativeContrastLoss_subclass()
+    X_, y_ = ref._assigning_subclass_labels_cur(
+        torch.tensor(feats), torch.tensor(pred), torch.tensor(pred),
+        torch.tensor(cur))
+    assert X_.shape[0] == B * NB, "matched sampling must keep every point"
+    ppc_ref = ref._ppc_contrastive_v1(X_, y_)
+    pcc_ref = ref._pcc_contrastive(X_, y_)
+    loss_ref = float(pcc_ref * 10 + ppc_ref)
+
+    # reference center update (forward :736-747)
+    cls_ids = (y_ // K).long()
+    sub_ids = (y_ % K).long()
+    for cls_id in range(C):
+        m = cls_ids == cls_id
+        ref.new_cluster_center[cls_id] = scatter_mean(
+            X_[m], sub_ids[m], dim=0, dim_size=K).detach()
+    ref._update_operations()
+
+    torch.manual_seed(1)
+    init = mod.nativeContrastLoss_subclass()
+    state = ClassContrastState(
+        centers=jnp.asarray(init.cluster_center.view(C * K, D).numpy()),
+        queues=jnp.asarray(init.point_queue.numpy()),
+        ptrs=jnp.zeros((C * K,), jnp.int32))
+    loss_our, new_state = class_contrast_loss(
+        state, jax.random.PRNGKey(5), jnp.asarray(feats), jnp.asarray(pred),
+        jnp.asarray(pred), conf=jnp.asarray(cur), num_classes=C,
+        n_view=16 * K, subclasses=K, temperature=0.1, mu=0.99,
+        pixel_update=30, pcc_weight=10.0)
+
+    assert float(loss_our) == pytest.approx(loss_ref, rel=2e-4), \
+        (float(loss_our), loss_ref)
+    np.testing.assert_allclose(
+        np.asarray(new_state.centers).reshape(C, K, D),
+        ref.cluster_center.numpy(), atol=2e-5)
