@@ -267,3 +267,57 @@ def class_contrast_loss(state: ClassContrastState, rng, feats, pred, label,
                                    queues=jax.lax.stop_gradient(new_queues),
                                    ptrs=new_ptrs)
     return loss, new_state
+
+
+def pseudo_label_from_prototype(state: ClassContrastState, feats,
+                                num_classes: int, subclasses: int = 1):
+    """Prototype-based pseudo-labels (reference
+    ``pseudo_label_from_prototype``, ``cluster_contrastloss.py:750-768,
+    1167-1185``): softmax over feature-center similarities; with subclasses
+    the argmax prototype folds back to its class id.
+
+    feats (B, N, D) -> (pseudo_label (B, N) int32, pseudo_logits (B, N))."""
+    f = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+    dist = jax.nn.softmax(f @ state.centers.T, axis=-1)       # (B, N, P)
+    logits = jnp.max(dist, axis=-1)
+    label = jnp.argmax(dist, axis=-1) // subclasses
+    return label.astype(jnp.int32), logits
+
+
+def pcc_top2_loss(state: ClassContrastState, rng, feats, label1, label2,
+                  valid_mask, cur, num_classes: int, subclasses: int = 6,
+                  n_view: int = 100, temperature: float = 0.1):
+    """The ``_t`` variant's ambiguous-point prototype term (reference
+    ``_assigning_subclass_labels_cur_top2`` + ``_pcc_contrastive_top2``,
+    ``cluster_contrastloss.py:1005-1113``): points whose top-2 mask is set
+    anchor against the centers with BOTH top-1 and top-2 (sub)class
+    prototypes as positives.  ``label1``/``label2`` (B, N): top-1/top-2
+    pseudo-labels; ``valid_mask`` (B, N): the top2 mask (reference masks the
+    rest to ignore_label 255); ``cur`` (B, N): curvature/confidence used for
+    the quantile bins."""
+    K = subclasses
+    n_view_bin = n_view // K
+    B, N, D = feats.shape
+    f = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+    # masked points get class id ``num_classes`` -> dropped by one_hot width
+    pred_m = jnp.where(valid_mask, label1, num_classes)
+    idx, valid = _sample_subclass_quantile(rng, pred_m, cur, num_classes, K,
+                                           n_view_bin)
+
+    def g(x):
+        flat = idx.reshape(B, -1)
+        return jnp.take_along_axis(x, flat, axis=1).reshape(idx.shape)
+
+    bins = jnp.broadcast_to(
+        jnp.arange(num_classes * K)[None, :, None] % K, idx.shape)
+    y1 = g(label1) * K + bins
+    y2 = g(label2) * K + bins
+    a = jnp.take_along_axis(f, idx.reshape(B, -1)[..., None],
+                            axis=1).reshape(-1, D)
+    P = num_classes * K
+    pos = jnp.maximum(jax.nn.one_hot(y1.reshape(-1), P),
+                      jax.nn.one_hot(y2.reshape(-1), P))
+    v = valid.reshape(-1)
+    pos = pos * v[:, None]
+    return _info_nce(a, state.centers, pos, temperature=temperature,
+                     anchor_valid=v)

@@ -222,3 +222,69 @@ def test_subclass_contrast_matches_reference(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(new_state.centers).reshape(C, K, D),
         ref.cluster_center.numpy(), atol=2e-5)
+
+
+def test_pcc_top2_matches_reference(monkeypatch):
+    """The _t variant's ambiguous-point prototype term (reference
+    ``_pcc_contrastive_top2``, ``cluster_contrastloss.py:1071-1113``) under
+    matched sampling."""
+    mod = _load_ref(monkeypatch)
+    from geot_tpu.losses.cluster_contrast import pcc_top2_loss
+
+    K = 6
+    P_PER = 20
+    NB = C * P_PER
+    rng_np = np.random.default_rng(7)
+    feats = rng_np.standard_normal((B, NB, D)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    label1 = np.zeros((B, NB), np.int64)
+    cur = np.zeros((B, NB), np.float32)
+    for c in range(C):
+        sl = slice(c * P_PER, (c + 1) * P_PER)
+        label1[:, sl] = c
+        for bb in range(B):
+            cur[bb, sl] = rng_np.permutation(P_PER) / P_PER + 0.003 * bb
+    label2 = (label1 + 1) % C
+
+    torch.manual_seed(2)
+    ref = mod.nativeContrastLoss_subclass_t()
+    X_, y1_, y2_ = ref._assigning_subclass_labels_cur_top2(
+        torch.tensor(feats), torch.tensor(label1), torch.tensor(label2),
+        torch.tensor(cur))
+    assert X_.shape[0] == B * NB
+    loss_ref = float(ref._pcc_contrastive_top2(X_, y1_, y2_))
+
+    torch.manual_seed(2)
+    init = mod.nativeContrastLoss_subclass_t()
+    state = ClassContrastState(
+        centers=jnp.asarray(init.cluster_center.view(C * K, D).numpy()),
+        queues=jnp.asarray(init.point_queue.numpy()),
+        ptrs=jnp.zeros((C * K,), jnp.int32))
+    loss_our = pcc_top2_loss(
+        state, jax.random.PRNGKey(9), jnp.asarray(feats),
+        jnp.asarray(label1), jnp.asarray(label2),
+        jnp.ones((B, NB), bool), jnp.asarray(cur), num_classes=C,
+        subclasses=K, n_view=16 * K, temperature=0.1)
+    assert float(loss_our) == pytest.approx(loss_ref, rel=2e-4), \
+        (float(loss_our), loss_ref)
+
+
+def test_pseudo_label_from_prototype_matches_reference(monkeypatch):
+    mod = _load_ref(monkeypatch)
+    from geot_tpu.losses.cluster_contrast import pseudo_label_from_prototype
+
+    K = 6
+    torch.manual_seed(3)
+    ref = mod.nativeContrastLoss_subclass()
+    state = ClassContrastState(
+        centers=jnp.asarray(ref.cluster_center.view(C * K, D).numpy()),
+        queues=jnp.zeros((C * K, 1, D)), ptrs=jnp.zeros((C * K,), jnp.int32))
+    rng_np = np.random.default_rng(11)
+    feats = rng_np.standard_normal((B, 256, D)).astype(np.float32)
+
+    # reference expects channels-second (B, D, N)
+    pl_ref, logit_ref = ref.pseudo_label_from_prototype(
+        torch.tensor(feats).permute(0, 2, 1))
+    pl, logit = pseudo_label_from_prototype(state, jnp.asarray(feats), C, K)
+    np.testing.assert_array_equal(np.asarray(pl), pl_ref.numpy())
+    np.testing.assert_allclose(np.asarray(logit), logit_ref.numpy(), atol=1e-5)
