@@ -158,8 +158,19 @@ class FeaturePropagation(nn.Module):
 
     @nn.compact
     def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
-                 training: bool = False):
-        interp = three_interpolation(unknown_xyz, known_xyz, known_feats)
+                 training: bool = False, prefix_n: int | None = None):
+        if prefix_n is not None:
+            # serving fast path: the first prefix_n unknown rows ARE the
+            # known set (pyramid levels are prefixes of one shared order),
+            # so their 3-NN interpolation is the identity (d1=0 drives the
+            # inverse-distance weights to ~[1,0,0]); only the remaining
+            # rows pay the kNN
+            rest = three_interpolation(unknown_xyz[:, prefix_n:], known_xyz,
+                                       known_feats)
+            interp = jnp.concatenate([known_feats.astype(rest.dtype), rest],
+                                     axis=1)
+        else:
+            interp = three_interpolation(unknown_xyz, known_xyz, known_feats)
         if unknown_feats is not None:
             interp = jnp.concatenate([interp,
                                       unknown_feats.astype(interp.dtype)], axis=-1)
@@ -280,9 +291,17 @@ class _PointTransformerSegBase(nn.Module):
             L = self.num_group if self.fast_pyramid is True \
                 else max(int(self.fast_pyramid), self.num_group)
             max_n = max(max(self.downsample_targets), L)
-            fps_pts = gather_points(pts, fps_stratified(pts, max_n, L))
+            # full permutation [true-FPS prefix | stratified fill | rest]:
+            # the WHOLE cloud is processed in this order so every decoder
+            # support set is a PREFIX of its query array — support rows skip
+            # the 3-NN search entirely (FeaturePropagation prefix_n); the
+            # output is un-permuted once at the end
+            perm_full = fps_stratified(pts, N, L)                 # (B, N)
+            pts = gather_points(pts, perm_full)
+            fps_pts = pts[:, :max_n]
         else:
             max_n = max(max(self.downsample_targets), self.num_group)
+            perm_full = None
             fps_idx = fps(pts, max_n)
             fps_pts = gather_points(pts, fps_idx)
 
@@ -313,11 +332,14 @@ class _PointTransformerSegBase(nn.Module):
         # FPS pyramid = prefixes of the shared run (see above)
         center_pts = [fps_pts[:, :t] for t in self.downsample_targets]
 
+        prefix = self.num_group if perm_full is not None else None
         f_l3 = taps[2]                                               # (B,512,D)
         f_l2 = FeaturePropagation([D * 4, D], dtype=self.dtype, name="propagation_2")(
-            center_pts[1], center, center_pts[1], taps[1], training=training)
+            center_pts[1], center, center_pts[1], taps[1], training=training,
+            prefix_n=prefix)
         f_l1 = FeaturePropagation([D * 4, D], dtype=self.dtype, name="propagation_1")(
-            center_pts[0], center, center_pts[0], taps[0], training=training)
+            center_pts[0], center, center_pts[0], taps[0], training=training,
+            prefix_n=prefix)
 
         f_l2 = DGCNNPropagation(k=4, dim=D, dtype=self.dtype, name="dgcnn_pro_2")(
             center, f_l3, center_pts[1], f_l2, training=training)
@@ -325,7 +347,9 @@ class _PointTransformerSegBase(nn.Module):
             center_pts[1], f_l2, center_pts[0], f_l1, training=training)
 
         f_l0 = FeaturePropagation([D * 4, D], dtype=self.dtype, name="propagation_0")(
-            pts, center_pts[0], f_l0_in, f_l1, training=training)
+            pts, center_pts[0], f_l0_in, f_l1, training=training,
+            prefix_n=self.downsample_targets[0] if perm_full is not None
+            else None)
 
         seg_head = SegHead(self.nclasses, dtype=self.dtype, name="seg_head")
         if self.head_mode == "classifier":
@@ -341,6 +365,11 @@ class _PointTransformerSegBase(nn.Module):
             logit = seg_head(f_l0, training=training)
             feats_out = f_l0
         logit = logit.astype(jnp.float32)
+        if perm_full is not None:
+            # un-permute back to the caller's point order
+            inv = jnp.argsort(perm_full, axis=1)
+            logit = jnp.take_along_axis(logit, inv[..., None], axis=1)
+            feats_out = jnp.take_along_axis(feats_out, inv[..., None], axis=1)
 
         if self.head_mode == "cluster":
             # 64-d contrast projection head
