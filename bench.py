@@ -55,6 +55,10 @@ def main():
         seg_args["fast_pyramid"] = True
     elif fp != "0":
         seg_args["fast_pyramid"] = int(fp)
+    # fast_graph: DGCNN second edge conv reuses cross-level kNN indices
+    # (serving order only; quality evidence in log/fast_pyramid_eval.json)
+    if fp != "0" and os.environ.get("BENCH_FAST_GRAPH", "0") == "1":
+        seg_args["fast_graph"] = True
     model, variables, _ = _build(seg_args, N_POINTS, BATCH)
 
     # reduce to a scalar on device: forces full compute per call with a

@@ -3,7 +3,7 @@ from .config import EasyConfig
 from .metrics import (AverageMeter, ConfusionMatrix, IoU_from_confusions,
                       get_mious, partnet_metrics, shapenetpart_metrics)
 from .logger import setup_logger_dist, generate_exp_directory, resume_exp_directory
-from .random import set_random_seed
+from .random import set_random_seed, str2bool
 
 __all__ = [
     "Registry",
@@ -19,4 +19,5 @@ __all__ = [
     "generate_exp_directory",
     "resume_exp_directory",
     "set_random_seed",
+    "str2bool",
 ]

@@ -18,3 +18,16 @@ def root_key(seed: int):
     import jax
 
     return jax.random.PRNGKey(seed)
+
+
+def str2bool(v):
+    """argparse boolean coercion (reference ``openpoints/utils/str2bool.py:3``)."""
+    import argparse
+
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")

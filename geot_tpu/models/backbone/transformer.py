@@ -191,23 +191,34 @@ class DGCNNPropagation(nn.Module):
     dim: int = 384
     dtype: Any = None
 
-    def _graph_feature(self, coor_q, x_q, coor_k, x_k):
-        _, idx = knn(coor_q, coor_k, self.k)                        # (B, Nq, k)
+    def _graph_feature(self, coor_q, x_q, coor_k, x_k, idx=None):
+        if idx is None:
+            _, idx = knn(coor_q, coor_k, self.k)                    # (B, Nq, k)
         neigh = grouping_operation(x_k, idx)                        # (B, Nq, k, C)
         center = jnp.broadcast_to(x_q[:, :, None, :], neigh.shape)
-        return jnp.concatenate([neigh - center, center], axis=-1)   # (B, Nq, k, 2C)
+        return jnp.concatenate([neigh - center, center], axis=-1), idx
 
     @nn.compact
-    def __call__(self, coor, f, coor_q, f_q, training: bool = False):
+    def __call__(self, coor, f, coor_q, f_q, training: bool = False,
+                 reuse_cross_idx: bool = False):
         # coor/f: coarse level; coor_q/f_q: fine level (channels-last)
+        #
+        # reuse_cross_idx (serving fast path): the second edge conv reuses the
+        # first's cross-level neighbour indices instead of running a fine-level
+        # self-kNN.  Only valid when the coarse rows are a PREFIX of the fine
+        # rows (the stratified serving order), so the indices address the same
+        # physical points in both arrays; each fine point's layer-2 neighbours
+        # are then its 4 nearest COARSE points (a uniformly-spread subset) —
+        # quality evidence in log/fast_pyramid_eval.json.
         hidden = 4 * self.dim // 3
-        h = self._graph_feature(coor_q, f_q, coor, f)
+        h, cross_idx = self._graph_feature(coor_q, f_q, coor, f)
         h = nn.Dense(hidden, use_bias=False, kernel_init=xavier, dtype=self.dtype, name="layer1_conv")(h)
         h = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=self.dtype,
                          name="layer1_gn")(h)
         h = nn.leaky_relu(h, negative_slope=0.2)
         h = jnp.max(h, axis=2)
-        h2 = self._graph_feature(coor_q, h, coor_q, h)
+        h2, _ = self._graph_feature(coor_q, h, coor_q, h,
+                                    idx=cross_idx if reuse_cross_idx else None)
         h2 = nn.Dense(self.dim, use_bias=False, kernel_init=xavier, dtype=self.dtype, name="layer2_conv")(h2)
         h2 = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=self.dtype,
                           name="layer2_gn")(h2)
@@ -264,6 +275,11 @@ class _PointTransformerSegBase(nn.Module):
     # the first L selections (tokenizer + coarse levels), permutation-fill
     # the rest (quality-neutral at L=2048, see log/fast_pyramid_eval.json)
     fast_pyramid: bool | int = False
+    # serving mode: the DGCNN layers' second edge conv reuses the first's
+    # cross-level neighbour indices (drops both fine-level self-kNNs, ~0.9 ms
+    # at 16k).  Requires the stratified prefix order, so only honoured when
+    # fast_pyramid is on.
+    fast_graph: bool = False
 
     @nn.compact
     def __call__(self, pts, x=None, cls_label=None, T=None,
@@ -341,10 +357,13 @@ class _PointTransformerSegBase(nn.Module):
             center_pts[0], center, center_pts[0], taps[0], training=training,
             prefix_n=prefix)
 
+        reuse = bool(self.fast_graph) and perm_full is not None
         f_l2 = DGCNNPropagation(k=4, dim=D, dtype=self.dtype, name="dgcnn_pro_2")(
-            center, f_l3, center_pts[1], f_l2, training=training)
+            center, f_l3, center_pts[1], f_l2, training=training,
+            reuse_cross_idx=reuse)
         f_l1 = DGCNNPropagation(k=4, dim=D, dtype=self.dtype, name="dgcnn_pro_1")(
-            center_pts[1], f_l2, center_pts[0], f_l1, training=training)
+            center_pts[1], f_l2, center_pts[0], f_l1, training=training,
+            reuse_cross_idx=reuse)
 
         f_l0 = FeaturePropagation([D * 4, D], dtype=self.dtype, name="propagation_0")(
             pts, center_pts[0], f_l0_in, f_l1, training=training,
@@ -366,8 +385,13 @@ class _PointTransformerSegBase(nn.Module):
             feats_out = f_l0
         logit = logit.astype(jnp.float32)
         if perm_full is not None:
-            # un-permute back to the caller's point order
-            inv = jnp.argsort(perm_full, axis=1)
+            # un-permute back to the caller's point order; perm_full is a
+            # permutation, so its inverse is a scatter of iota (cheaper than
+            # the argsort's O(log^2 N) sorting network)
+            inv = jnp.zeros((B, N), jnp.int32).at[
+                jnp.arange(B)[:, None], perm_full].set(
+                jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N)),
+                unique_indices=True)
             logit = jnp.take_along_axis(logit, inv[..., None], axis=1)
             feats_out = jnp.take_along_axis(feats_out, inv[..., None], axis=1)
 

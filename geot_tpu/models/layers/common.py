@@ -20,6 +20,16 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
+def make_divisible(v, divisor=8, min_value=None, round_limit=0.9):
+    """Round ``v`` to a multiple of ``divisor`` without dropping below
+    ``round_limit * v`` (reference ``openpoints/models/layers/helpers.py:26``)."""
+    min_value = min_value or divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < round_limit * v:
+        new_v += divisor
+    return new_v
+
+
 def drop_path_rates(drop_path_rate: float, depth: int):
     """Linear stochastic-depth schedule, ``torch.linspace(0, r, depth)``."""
     if depth == 1:

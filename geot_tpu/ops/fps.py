@@ -136,7 +136,15 @@ def fps_stratified(xyz: jnp.ndarray, npoint: int, fps_prefix: int,
     taken = jnp.zeros((B, N), bool).at[
         jnp.arange(B)[:, None], head].set(True)
     taken_c = jnp.take_along_axis(taken, cand, axis=1)
-    # stable sort moves un-taken candidates (in schedule order) to the front
-    order = jnp.argsort(taken_c, axis=1, stable=True)
-    tail = jnp.take_along_axis(cand, order, axis=1)[:, : npoint - fps_prefix]
+    # stable partition (un-taken candidates first, schedule order preserved):
+    # target slots via two cumsums + one scatter — equivalent to a stable
+    # argsort on the boolean key but without the sorting network
+    untaken = ~taken_c
+    n_untaken = N - fps_prefix                     # head indices are distinct
+    pos = jnp.where(untaken,
+                    jnp.cumsum(untaken, axis=1) - 1,
+                    n_untaken + jnp.cumsum(taken_c, axis=1) - 1)
+    part = jnp.zeros((B, N), cand.dtype).at[
+        jnp.arange(B)[:, None], pos].set(cand, unique_indices=True)
+    tail = part[:, : npoint - fps_prefix]
     return jnp.concatenate([head, tail], axis=1)

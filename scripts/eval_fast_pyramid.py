@@ -39,19 +39,36 @@ def main():
         cfg.get("batch_size_val", 2), cfg.dataset_l, cfg.get("dataloader"),
         cfg.get("datatransforms"), split="val", seed=cfg.get("seed", 0))
 
+    default_modes = (False, True, 1024, 2048)
+    if len(sys.argv) > 2:        # e.g. "exact,1024,1024+fg"
+        def _parse(tok):
+            fg = tok.endswith("+fg")
+            tok = tok[:-3] if fg else tok
+            m = (False if tok == "exact"
+                 else True if tok in ("512", "tok") else int(tok))
+            return (m, fg)
+        modes = [_parse(t) for t in sys.argv[2].split(",")]
+    else:
+        modes = [(m, False) for m in default_modes]
+
     results = {"checkpoint": best, "modes": {}}
-    for mode in (False, True, 1024, 2048):
+    for mode, fg in modes:
         seg = dict(cfg.model.segmentor_args)
         seg.pop("pretrained_path", None)
         seg.pop("fast_pyramid", None)   # run cfg may bake a serving mode in
+        seg.pop("fast_graph", None)
         if mode:
             seg["fast_pyramid"] = mode
+        if fg:
+            seg["fast_graph"] = True
         model = build_model_from_cfg({"NAME": "WholePartSeg",
                                       "segmentor_args": seg})
         step = make_eval_step(model)
         res = validate(step, variables, val_loader, cfg)
         key = "exact" if mode is False else (
             "fps512_only" if mode is True else f"fps{mode}")
+        if fg:
+            key += "+fast_graph"
         results["modes"][key] = {k: round(float(v), 4)
                                  for k, v in res.items()}
         print(key, results["modes"][key])

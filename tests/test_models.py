@@ -218,3 +218,31 @@ class TestFastPyramid:
         logit, *_ = model.apply(variables, batch)
         assert logit.shape == (B, N, C)
         assert np.isfinite(np.asarray(logit)).all()
+
+    def test_fast_graph_forward_and_exact_mode_unaffected(self, rng):
+        # fast_graph reuses the DGCNN cross-level kNN indices for the second
+        # edge conv; only honoured under the stratified serving order
+        cfg = dict(SEG_T_CFG["segmentor_args"])
+        cfg["fast_pyramid"] = True
+        cfg["fast_graph"] = True
+        model = build_model_from_cfg(EasyConfig({"NAME": "WholePartSeg",
+                                                 "segmentor_args": cfg}))
+        batch = make_batch(rng)
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)}, batch)
+        logit, *_ = model.apply(variables, batch)
+        assert logit.shape == (B, N, C)
+        assert np.isfinite(np.asarray(logit)).all()
+
+        # without fast_pyramid the flag is a no-op: bit-identical to baseline
+        cfg_ng = dict(SEG_T_CFG["segmentor_args"])
+        cfg_ng["fast_graph"] = True
+        m_ng = build_model_from_cfg(EasyConfig({"NAME": "WholePartSeg",
+                                                "segmentor_args": cfg_ng}))
+        m_base = build_model_from_cfg(EasyConfig(
+            {"NAME": "WholePartSeg",
+             "segmentor_args": dict(SEG_T_CFG["segmentor_args"])}))
+        v = m_base.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, batch)
+        np.testing.assert_array_equal(np.asarray(m_ng.apply(v, batch)[0]),
+                                      np.asarray(m_base.apply(v, batch)[0]))
