@@ -88,11 +88,20 @@ def main(argv=None):
     parser.add_argument("--ply", default=None, help="optional coloured PLY out")
     parser.add_argument("--jaw", type=int, default=None,
                         help="0 lower / 1 upper; inferred from filename if absent")
+    parser.add_argument("--fast", action="store_true",
+                        help="serving fast path: stratified FPS pyramid "
+                             "(prefix 1024) + DGCNN cross-index reuse — "
+                             "~1.7x throughput; pair with a serving-finetuned "
+                             "checkpoint for quality parity "
+                             "(log/fast_pyramid_eval.json)")
     args, opts = parser.parse_known_args(argv)
 
     cfg = EasyConfig()
     cfg.load(args.cfg, recursive=True)
     cfg.update(opts)
+    if args.fast:
+        cfg.model.segmentor_args.fast_pyramid = 1024
+        cfg.model.segmentor_args.fast_graph = True
 
     jaw = args.jaw
     if jaw is None:
