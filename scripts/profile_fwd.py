@@ -28,6 +28,8 @@ def main():
     p.add_argument("--top", type=int, default=20)
     p.add_argument("--fast-pyramid", default="0",
                    help="0=exact, 1=tokenizer-only, int=stratified prefix")
+    p.add_argument("--fast-graph", type=int, default=0,
+                   help="1 = DGCNN cross-index reuse (needs fast-pyramid)")
     args = p.parse_args()
 
     import jax
@@ -42,6 +44,8 @@ def main():
         seg["fast_pyramid"] = True
     elif args.fast_pyramid != "0":
         seg["fast_pyramid"] = int(args.fast_pyramid)
+    if args.fast_graph:
+        seg["fast_graph"] = True
     model, variables, _ = _build(seg, 16000, args.batch)
     fwd = jax.jit(lambda v, b: jnp.sum(model.apply(v, b)[0]))
     rng = np.random.default_rng(0)
