@@ -4,6 +4,22 @@ from __future__ import annotations
 import numpy as np
 
 
+class EpochSeededRNG:
+    """Per-``(seed, epoch, idx)`` item RNG shared by every dataset family.
+
+    The loader's ``set_epoch`` forwarding (``build.py:65-70``) bumps
+    ``self.epoch`` so augmentations are epoch-varying while staying
+    deterministic — the rebuild's replacement for the reference's torch
+    DataLoader worker seeding (ADVICE r2: a fixed per-idx seed replayed
+    identical augmentations every epoch)."""
+
+    seed = 0
+    epoch = 0
+
+    def _rng(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng((self.seed, self.epoch, idx))
+
+
 def get_features_by_keys(data, keys: str = "pos,x"):
     """Concatenate feature keys channels-last (reference ``data_util.py:177``
     returns channels-first; this rebuild is channels-last everywhere).

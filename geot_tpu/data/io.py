@@ -84,7 +84,15 @@ def _read_ply_xyz(path: str) -> np.ndarray:
             rows = np.loadtxt(f, max_rows=n, dtype=np.float64)
             rows = rows.reshape(n, -1)
         else:
-            dt = np.dtype([(p, "<f4" if "float" in h.split()[1] else "<f8")
+            endian = ">" if "big_endian" in fmt else "<"
+            ply_types = {  # full PLY scalar-type table, both spellings
+                "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+                "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+                "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+                "float": "f4", "float32": "f4",
+                "double": "f8", "float64": "f8",
+            }
+            dt = np.dtype([(p, endian + ply_types[h.split()[1]])
                            for h, p in zip(
                                [h for h in header if h.startswith("property")
                                 and "list" not in h], props)])

@@ -23,6 +23,7 @@ import pickle
 import numpy as np
 
 from .build import DATASETS
+from .data_util import EpochSeededRNG as _EpochSeeded
 from .data_util import rotate_theta_phi
 
 CLASSES16 = ['airplane', 'bag', 'cap', 'car', 'chair', 'earphone', 'guitar',
@@ -38,18 +39,6 @@ SHAPENETPART_CLS2PARTS = [
 ]
 
 
-class _EpochSeeded:
-    """Per-``(seed, epoch, idx)`` item RNG, mirroring ``_TeethBase``
-    (``tooth_semi.py:100-103``) so the loader's ``set_epoch`` forwarding
-    (``build.py:65-70``) makes augmentations epoch-varying while staying
-    deterministic (ADVICE r2: a fixed per-idx seed replayed identical
-    augmentations every epoch)."""
-
-    seed = 0
-    epoch = 0
-
-    def _rng(self, idx: int) -> np.random.Generator:
-        return np.random.default_rng((self.seed, self.epoch, idx))
 
 
 def _cls2partembed():

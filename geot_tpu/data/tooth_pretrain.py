@@ -299,6 +299,11 @@ class TeethClsDataset(_TeethBase):
         sample = self.file_list[idx]
         rng = self._rng(idx)
         points, _labels = self._load(sample)
+        # The cls dataset is the one tooth dataset where the reference's axis
+        # roll is ACTIVE (``tooth_dataset.py:598`` — elsewhere it is commented
+        # out): z becomes the first axis before normalisation, so the
+        # gravity_dim=2 height channel reads the rolled y axis.
+        points = points[:, [2, 0, 1]]
         points_norm, _center, _scale = pc_norm(points)
         sel = rng.choice(len(points_norm), self.num_points, replace=True)
         spts = points_norm[sel].astype(np.float32)

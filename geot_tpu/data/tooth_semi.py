@@ -18,6 +18,7 @@ import os
 import numpy as np
 
 from .build import DATASETS
+from .data_util import EpochSeededRNG
 from .io import IO
 
 # FDI two-digit tooth codes -> 17 contiguous classes (gum = 0); mirrors
@@ -61,7 +62,7 @@ def _synthetic_scan(seed: int, n_points: int = 40000):
     return (np.concatenate(clouds).astype(np.float32), np.concatenate(labels))
 
 
-class _TeethBase:
+class _TeethBase(EpochSeededRNG):
     def __init__(self, data_root: str, num_points: int, split: str,
                  list_name: str, synthetic_len: int = 24, seed: int = 0,
                  **kwargs):
@@ -96,11 +97,6 @@ class _TeethBase:
 
     def __len__(self):
         return len(self.file_list)
-
-    def _rng(self, idx: int) -> np.random.Generator:
-        """Deterministic per-(seed, epoch, index) generator — replaces the
-        reference's torch DataLoader worker seeding."""
-        return np.random.default_rng((self.seed, self.epoch, idx))
 
     def _load(self, sample):
         if self.synthetic:

@@ -37,11 +37,19 @@ def _sup_loss_fn(criterion, criterion_name, logits, batch):
     return criterion(logits, batch["y"])
 
 
+def _needs_hessian(cfg) -> bool:
+    """True when the configured optimizer is AdaHessian (whose ``update``
+    takes the extra ``hessian_diag`` pytree — see ``optim/adahessian.py``)."""
+    name = str((cfg.get("optimizer") or {}).get("NAME", "")).lower()
+    return "adahessian" in name
+
+
 def make_supervised_step(model, tx, cfg) -> Callable:
     """Supervised warm-up step (reference ``train.py:439-457``)."""
     criterion = build_criterion_from_cfg(cfg["criterion_args"])
     criterion_name = cfg["criterion_args"]["NAME"]
     clip = cfg.get("grad_norm_clip")
+    needs_hessian = _needs_hessian(cfg)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, lr):
@@ -56,12 +64,22 @@ def make_supervised_step(model, tx, cfg) -> Callable:
             return loss, mutated["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        extra = {}
+        if needs_hessian:
+            # AdaHessian second backward: Hutchinson diag(H) via one jvp
+            # through the grad fn (reference double backward,
+            # ``openpoints/optim/adahessian.py:75-100``)
+            from ..optim.adahessian import hutchinson_diag
+            grad_only = lambda p: jax.grad(  # noqa: E731
+                loss_fn, has_aux=True)(p)[0]
+            extra["hessian_diag"] = hutchinson_diag(
+                grad_only, state.params, jax.random.fold_in(rng, 0x5EC0))
         if clip is not None:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         opt_state = set_learning_rate(state.opt_state, lr)
-        updates, opt_state = tx.update(grads, opt_state, state.params)
+        updates, opt_state = tx.update(grads, opt_state, state.params, **extra)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(params=params, batch_stats=new_bs,
                                   opt_state=opt_state, step=state.step + 1)
@@ -84,6 +102,7 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
     criterion_u_name = cfg["criterion_u_args"]["NAME"]
     num_classes = int(cfg["num_classes"])
     clip = cfg.get("grad_norm_clip")
+    needs_hessian = _needs_hessian(cfg)
 
     threshold = float(cfg.get("threshold", 0.0))
     unsup_w = float(cfg.get("unsupervised_loss_weight", 1.0))
@@ -245,13 +264,20 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             (state.params, state.t_params))
         g_model, g_t = grads
+        extra = {}
+        if needs_hessian:
+            from ..optim.adahessian import hutchinson_diag
+            grad_only = lambda p: jax.grad(  # noqa: E731
+                loss_fn, has_aux=True)((p, state.t_params))[0][0]
+            extra["hessian_diag"] = hutchinson_diag(
+                grad_only, state.params, jax.random.fold_in(rng, 0x5EC0))
         if clip is not None:
             gnorm = optax.global_norm(g_model)
             scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
             g_model = jax.tree_util.tree_map(lambda g: g * scale, g_model)
 
         opt_state = set_learning_rate(state.opt_state, lr)
-        updates, opt_state = tx.update(g_model, opt_state, state.params)
+        updates, opt_state = tx.update(g_model, opt_state, state.params, **extra)
         params = optax.apply_updates(state.params, updates)
 
         t_opt_state = set_learning_rate(state.t_opt_state, lr)

@@ -368,6 +368,16 @@ def main(cfg: EasyConfig) -> dict:
                                        cfg.get("run_name", "run"), "best")
                 if os.path.exists(best_path):
                     test_vars = load_variables(best_path)
+                    # orbax restores host numpy leaves; place them on device
+                    # ONCE here (sharded like the live state under a mesh) so
+                    # every eval_step call below reuses the same device
+                    # buffers instead of re-uploading params per batch.
+                    if mesh is not None:
+                        from ..parallel import shard_state
+                        test_vars = shard_state(test_vars, mesh)
+                    else:
+                        test_vars = jax.tree_util.tree_map(jnp.asarray,
+                                                           test_vars)
                     logger.info(f"test eval on best ckpt (epoch {best['epoch']})")
             res = validate(eval_step, test_vars, test_loader, cfg, logger,
                            mesh=mesh)

@@ -384,6 +384,21 @@ class _PointTransformerSegBase(nn.Module):
             logit = seg_head(f_l0, training=training)
             feats_out = f_l0
         logit = logit.astype(jnp.float32)
+
+        if self.head_mode == "cluster":
+            # 64-d contrast projection head
+            # (reference ``PointTransformer_seg_cluster``, ``transformer.py:697-706``)
+            # Computed BEFORE the fast_pyramid un-permute so the contrast
+            # features go through the same inverse gather as the logits.
+            h = f_l0
+            for i, c in enumerate((128, 128, 64)):
+                h = nn.Dense(c, kernel_init=xavier, name=f"proj_{i}")(h)
+                h = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                                 epsilon=1e-5, name=f"proj_bn_{i}")(h)
+                if i < 2:
+                    h = nn.relu(h)
+            feats_out = h
+
         if perm_full is not None:
             # un-permute back to the caller's point order; perm_full is a
             # permutation, so its inverse is a scatter of iota (cheaper than
@@ -394,18 +409,6 @@ class _PointTransformerSegBase(nn.Module):
                 unique_indices=True)
             logit = jnp.take_along_axis(logit, inv[..., None], axis=1)
             feats_out = jnp.take_along_axis(feats_out, inv[..., None], axis=1)
-
-        if self.head_mode == "cluster":
-            # 64-d contrast projection head
-            # (reference ``PointTransformer_seg_cluster``, ``transformer.py:697-706``)
-            h = f_l0
-            for i, c in enumerate((128, 128, 64)):
-                h = nn.Dense(c, kernel_init=xavier, name=f"proj_{i}")(h)
-                h = nn.BatchNorm(use_running_average=not training, momentum=0.9,
-                                 epsilon=1e-5, name=f"proj_bn_{i}")(h)
-                if i < 2:
-                    h = nn.relu(h)
-            feats_out = h
 
         correction = None
         sigma = None

@@ -6,7 +6,9 @@ lowers to exact top-k, so this measurement is only meaningful on the real
 chip.  Writes ``log/knn_drift.json``; ``tests/test_knn_drift_artifact.py``
 pins the recorded bounds.
 
-Run (TPU, serial, one process): ``python scripts/knn_drift.py``
+Run (TPU, serial, one process):
+``KNN_DRIFT_OUT=log/knn_drift.json python scripts/knn_drift.py``
+(the artifact write is opt-in so a CPU run can't clobber the TPU evidence).
 """
 import json
 import os
@@ -70,10 +72,13 @@ def main():
         "mean_abs_dlogit": float(np.abs(la - le).mean()),
         "wall_s": time.time() - t0,
     }
-    out = os.path.join(os.path.dirname(__file__), "..", "log",
-                       "knn_drift.json")
-    with open(out, "w") as f:
-        json.dump(res, f, indent=2)
+    # Opt-in artifact write (mirrors eval_fast_pyramid.py's FP_EVAL_OUT
+    # gating): the committed log/knn_drift.json is TPU evidence — a stray
+    # CPU run must not clobber it with a meaningless exact-vs-exact result.
+    out = os.environ.get("KNN_DRIFT_OUT", "")
+    if out:
+        with open(out, "w") as f:
+            json.dump(res, f, indent=2)
     print(json.dumps(res))
 
 

@@ -393,3 +393,55 @@ def test_teeth_cls_dataset_payload():
     ds.epoch = 1
     d2 = ds[1]
     assert not np.allclose(d["pos"], d2["pos"])
+
+
+def test_teeth_cls_axis_roll():
+    """The cls dataset is the one tooth dataset where the reference's axis
+    roll ``points[:, [2, 0, 1]]`` is ACTIVE (``tooth_dataset.py:598``) — the
+    sampled cloud must be drawn from the rolled+normalised points and the
+    height channel must read the rolled axis (review r3)."""
+    from geot_tpu.data import DATASETS
+    from geot_tpu.data.tooth_semi import pc_norm
+
+    ds = DATASETS.build({"NAME": "TeethClsDataset", "data_root": "",
+                         "num_points": 64})
+    raw, _ = ds._load(ds.file_list[0])
+    expect_norm, _, _ = pc_norm(raw[:, [2, 0, 1]])
+    d = ds[0]
+    # every sampled point must be a row of the rolled+normalised cloud
+    dmin = np.min(np.linalg.norm(
+        d["pos"][:, None, :] - expect_norm[None], axis=-1), axis=1)
+    assert float(dmin.max()) < 1e-5
+    h = d["pos"][:, 2:3] - d["pos"][:, 2:3].min()
+    np.testing.assert_allclose(d["x"][:, 3:], h, atol=1e-6)
+
+
+def test_binary_ply_mixed_property_types(tmp_path):
+    """Binary PLY with uchar color properties after float coords (review r3:
+    every non-'float' property was mapped to 8 bytes, mis-striding the
+    record) and float64 coords."""
+    import struct
+
+    from geot_tpu.data.io import _read_ply_xyz
+
+    pts = np.array([[0.5, -1.25, 2.0], [3.5, 4.0, -0.125]], np.float32)
+    p = tmp_path / "colored.ply"
+    with open(p, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n"
+                b"element vertex 2\n"
+                b"property float x\nproperty float y\nproperty float z\n"
+                b"property uchar red\nproperty uchar green\nproperty uchar blue\n"
+                b"end_header\n")
+        for i, row in enumerate(pts):
+            f.write(struct.pack("<fffBBB", *row, 10 * i, 20, 30))
+    np.testing.assert_allclose(_read_ply_xyz(str(p)), pts)
+
+    p2 = tmp_path / "double.ply"
+    with open(p2, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n"
+                b"element vertex 2\n"
+                b"property float64 x\nproperty float64 y\nproperty float64 z\n"
+                b"end_header\n")
+        for row in pts:
+            f.write(struct.pack("<ddd", *row))
+    np.testing.assert_allclose(_read_ply_xyz(str(p2)), pts)

@@ -2,6 +2,7 @@
 YAML-shaped configs, forward shapes/dtypes at reduced sizes, train/eval mode
 behaviour."""
 import numpy as np
+import flax
 import jax
 import jax.numpy as jnp
 import pytest
@@ -246,3 +247,43 @@ class TestFastPyramid:
                          "dropout": jax.random.PRNGKey(1)}, batch)
         np.testing.assert_array_equal(np.asarray(m_ng.apply(v, batch)[0]),
                                       np.asarray(m_base.apply(v, batch)[0]))
+
+
+class TestFastPyramidClusterAlignment:
+    def test_cluster_feats_share_logit_inverse_perm(self, rng):
+        """Under fast_pyramid the cluster head's 64-d contrast features must
+        go through the SAME inverse permutation as the logits (review r3: the
+        projection was computed from the still-permuted f_l0 AFTER the
+        un-permute, pairing point i's logit with point inv(i)'s feature).
+
+        Both the logits and the projection are pointwise functions of f_l0,
+        so matching output logit rows to the (captured) pre-un-permute
+        seg_head rows recovers the permutation; the features must follow it."""
+        cfg = {"NAME": "PointTransformer_seg_cluster", "trans_dim": 48,
+               "depth": 3, "num_heads": 4, "group_size": 8, "num_group": 16,
+               "encoder_dims": 32, "nclasses": 17, "drop_path_rate": 0.0,
+               "downsample_targets": [64, 32, 16], "extract_layers": [1, 2, 3],
+               "fast_pyramid": True}
+        m = build_model_from_cfg(EasyConfig(cfg))
+        pos = jnp.asarray(rng.standard_normal((1, 128, 3)).astype(np.float32))
+        cls0 = jnp.zeros((1,), jnp.int32)
+        v = m.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, pos, None, cls0)
+        (logit, _, _, feats), inter = m.apply(
+            v, pos, None, cls0, capture_intermediates=True,
+            mutable=["intermediates"])
+        flat = {"/".join(k): val for k, val in
+                flax.traverse_util.flatten_dict(inter["intermediates"]).items()}
+        raw_logit = np.asarray(next(
+            val for k, val in flat.items()
+            if k.endswith("seg_head/__call__"))[0])
+        raw_h = np.asarray(next(
+            val for k, val in flat.items()
+            if k.endswith("proj_bn_2/__call__"))[0])
+        logit, feats = np.asarray(logit), np.asarray(feats)
+        d = np.linalg.norm(logit[0][:, None, :] -
+                           raw_logit[0].astype(np.float32)[None], axis=-1)
+        j = d.argmin(axis=1)                       # output row i <- raw row j
+        assert sorted(j.tolist()) == list(range(128)), "perm must be bijective"
+        np.testing.assert_allclose(
+            feats[0], raw_h[0].astype(np.float32)[j], rtol=1e-4, atol=1e-5)

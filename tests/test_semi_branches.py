@@ -19,7 +19,7 @@ SEG = dict(NAME="PointTransformer_seg_T", trans_dim=48, depth=3, num_heads=4,
 N = 128
 
 
-def build_all(cfg_extra):
+def build_all(cfg_extra, opt_name="adamw"):
     cfg = EasyConfig({
         "criterion_args": {"NAME": "Poly1FocalLoss"},
         "criterion_u_args": {"NAME": "Poly1FocalLoss_U_corr"},
@@ -47,7 +47,7 @@ def build_all(cfg_extra):
         {"params": key, "dropout": jax.random.fold_in(key, 1)}, bl)
     t_vars = t_pred.init(jax.random.fold_in(key, 2),
                          jnp.full((1, 8, 17), 1 / 17.0), jnp.eye(17))
-    tx = build_optimizer_from_cfg(None, lr=1e-3, NAME="adamw")
+    tx = build_optimizer_from_cfg(None, lr=1e-3, NAME=opt_name)
     t_tx = build_optimizer_from_cfg(None, lr=1e-3, NAME="adamw")
     state = SemiTrainState.create(variables, tx, t_vars, t_tx, 17,
                                   jax.random.fold_in(key, 3), contrast_dim=48)
@@ -160,3 +160,46 @@ def test_shipped_yaml_vote_pipeline_changes_logits():
                                       "cls": jnp.zeros((1, 1), jnp.int32)})[0]
     assert not np.allclose(np.asarray(logits0), np.asarray(logits1)), \
         "voting pass must produce different logits"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["supervised", "semi"])
+def test_adahessian_trains_a_step(mode):
+    """A config selecting ``optimizer NAME=adahessian`` must train: the steps
+    compute the Hutchinson Hessian diagonal and pass it as the optimizer's
+    extra arg (review r3: the factory registered adahessian but no step
+    supplied ``hessian_diag``, so selecting it crashed at the first update)."""
+    from geot_tpu.engine.state import TrainState
+    from geot_tpu.engine.steps import make_supervised_step
+
+    if mode == "semi":
+        step, state, bl, bu = build_all(
+            {"optimizer": {"NAME": "adahessian", "lr": 1e-3}},
+            opt_name="adahessian")
+        new_state, metrics = step(state, bl, bu, jnp.float32(1e-3), False)
+        assert np.isfinite(float(metrics["loss"]))
+        return
+
+    cfg = EasyConfig({
+        "criterion_args": {"NAME": "Poly1FocalLoss"},
+        "optimizer": {"NAME": "adahessian", "lr": 1e-3},
+        "num_classes": 17, "grad_norm_clip": 1.0, "seed": 0})
+    model = build_model_from_cfg({"NAME": "WholePartSeg", "segmentor_args": SEG})
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.standard_normal((2, N, 3)).astype(np.float32))
+    bl = {"pos": pos, "x": pos, "cls": jnp.zeros((2, 1), jnp.int32),
+          "y": jnp.zeros((2, N), jnp.int32)}
+    variables = jax.jit(model.init)(
+        {"params": key, "dropout": jax.random.fold_in(key, 1)}, bl)
+    tx = build_optimizer_from_cfg(None, lr=1e-3, NAME="adahessian")
+    state = TrainState.create(variables, tx)
+    step = make_supervised_step(model, tx, cfg)
+    p_before = [np.asarray(l).copy()
+                for l in jax.tree_util.tree_leaves(state.params)]
+    new_state, metrics = step(state, bl, jnp.float32(1e-3))
+    assert np.isfinite(float(metrics["loss"]))
+    p_after = jax.tree_util.tree_leaves(new_state.params)
+    moved = max(float(np.abs(a - np.asarray(b)).max())
+                for a, b in zip(p_before, p_after))
+    assert moved > 0, "params must update"
