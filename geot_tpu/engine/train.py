@@ -41,6 +41,32 @@ def _semi_batch(batch, put):
                           "raw_pos", "y")})
 
 
+def device_prefetch(host_iter, put_fn, depth: int = 2):
+    """Yield ``put_fn(item)`` for each item, with uploads running ``depth``
+    items ahead in a background thread.
+
+    Through the axon tunnel H2D transfer of a flagship semi batch costs
+    ~210 ms — serialising it with dispatch made the real run 0.49 s/step
+    while the same step with pre-uploaded batches sustains 275 ms (measured
+    r3).  Overlapping the upload with device compute recovers the gap.  The
+    reference gets this for free from torch DataLoader worker processes +
+    ``.cuda(non_blocking=True)`` (``train.py:443,466``)."""
+    import concurrent.futures as _fut
+    from collections import deque
+
+    pool = _fut.ThreadPoolExecutor(1)
+    try:
+        q = deque()
+        for item in host_iter:
+            q.append(pool.submit(put_fn, item))
+            if len(q) > depth:
+                yield q.popleft().result()
+        while q:
+            yield q.popleft().result()
+    finally:
+        pool.shutdown(wait=False)
+
+
 def make_device_put(mesh):
     """Host->device batch placement. With a mesh, numpy batches are laid out
     dp-sharded directly (no device-0 staging hop); without one, plain
@@ -270,16 +296,22 @@ def main(cfg: EasyConfig) -> dict:
 
         if semi_mode and epoch > supervised_epochs:
             train_loader_u.set_epoch(epoch)
-            u_iter = iter(train_loader_u)
             use_teacher = epoch <= switch_ep
-            for batch_l in train_loader_l:
-                try:
-                    batch_u = next(u_iter)
-                except StopIteration:
-                    u_iter = iter(train_loader_u)
-                    batch_u = next(u_iter)
-                state, metrics = semi_step(state, _model_batch(batch_l, put),
-                                           _semi_batch(batch_u, put), lr,
+
+            def _pairs():
+                u_iter = iter(train_loader_u)
+                for batch_l in train_loader_l:
+                    try:
+                        batch_u = next(u_iter)
+                    except StopIteration:
+                        u_iter = iter(train_loader_u)
+                        batch_u = next(u_iter)
+                    yield batch_l, batch_u
+
+            for dev_l, dev_u in device_prefetch(
+                    _pairs(), lambda p: (_model_batch(p[0], put),
+                                         _semi_batch(p[1], put))):
+                state, metrics = semi_step(state, dev_l, dev_u, lr,
                                            use_teacher)
                 _accum(metrics)
                 host_step += 1
@@ -290,8 +322,9 @@ def main(cfg: EasyConfig) -> dict:
                                    batch_stats=state.batch_stats,
                                    opt_state=state.opt_state, step=state.step) \
                 if semi_mode else state
-            for batch_l in train_loader_l:
-                sup_state, metrics = sup_step(sup_state, _model_batch(batch_l, put), lr)
+            for dev_l in device_prefetch(iter(train_loader_l),
+                                         lambda b: _model_batch(b, put)):
+                sup_state, metrics = sup_step(sup_state, dev_l, lr)
                 _accum(metrics)
                 host_step += 1
                 timer.tick(host_step, epoch=epoch)

@@ -241,7 +241,13 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int,
     R = -(-npoint // LANE)
     # ~80 bytes/point of VMEM per cloud (xyz + lut + mind + out); cap the
     # interleave width so G clouds stay within ~12 MB of the ~16 MB VMEM
-    G = max(1, min(B, 4, (12 << 20) // (80 * Np)))
+    cap = max(1, min(B, 4, (12 << 20) // (80 * Np)))
+    # Padding clouds run FULL dummy selection chains, so divisibility can
+    # beat maximal interleave (B=6: G=3 runs 6 chains, G=4 runs 8).  Pick G
+    # minimising ceil(B/G)*G*t(G) with the measured per-cloud chain cost at
+    # 16k t(1)=4.06 ms .. t(4)=3.31 ms (linear in G); ties prefer larger G.
+    G = min(range(1, cap + 1),
+            key=lambda g: ((-(-B // g) * g) * (4.06 - 0.25 * (g - 1)), -g))
     Bp = -(-B // G) * G
     xyz32 = xyz.astype(jnp.float32)
     if Bp > B:                                   # pad with dummy clouds

@@ -179,3 +179,20 @@ class TestResume:
 
         assert resumed[4] == pytest.approx(straight[4], rel=1e-5), \
             f"epoch-4 loss diverged: {resumed[4]} vs {straight[4]}"
+
+
+def test_device_prefetch_preserves_order_and_coverage():
+    """The background-upload pipeline must yield every item, transformed, in
+    order — even when the transform is slower than consumption."""
+    import time as _time
+
+    from geot_tpu.engine.train import device_prefetch
+
+    def slow_put(x):
+        _time.sleep(0.002)
+        return x * 10
+
+    out = list(device_prefetch(iter(range(20)), slow_put, depth=3))
+    assert out == [i * 10 for i in range(20)]
+    # empty iterator: no hang, no items
+    assert list(device_prefetch(iter(()), slow_put)) == []

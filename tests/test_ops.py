@@ -231,6 +231,21 @@ class TestPallasFps:
         b = np.asarray(_fps_impl(xyz, None, 32))
         np.testing.assert_array_equal(a, b)
 
+    def test_interleave_width_invariance(self, rng):
+        """Per-cloud results are independent of the interleave width G the
+        kernel picks (G follows batch size: 1 for B=1, 3 for B=6, 4 for B=4
+        after the divisibility-aware cost model) — each cloud's chain is
+        data-independent of its program co-residents."""
+        from geot_tpu.ops.pallas_fps import fps_pallas
+
+        xyz = jnp.asarray(rng.standard_normal((6, 300, 3)).astype(np.float32))
+        batched = np.asarray(fps_pallas(xyz, 24, interpret=True))     # G=3
+        for b in range(6):                                            # G=1
+            single = np.asarray(fps_pallas(xyz[b:b + 1], 24, interpret=True))
+            np.testing.assert_array_equal(batched[b], single[0])
+        quad = np.asarray(fps_pallas(xyz[:4], 24, interpret=True))    # G=4
+        np.testing.assert_array_equal(batched[:4], quad)
+
 
 class TestPallasKnnSmallK:
     def test_interpret_exact_match(self, rng):
