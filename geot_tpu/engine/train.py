@@ -41,19 +41,29 @@ def _semi_batch(batch, put):
                           "raw_pos", "y")})
 
 
-def device_prefetch(host_iter, put_fn, depth: int = 2):
+def device_prefetch(host_iter, put_fn, depth: int | None = None):
     """Yield ``put_fn(item)`` for each item, with uploads running ``depth``
-    items ahead in a background thread.
+    items ahead in a background thread (``GEOT_PREFETCH_DEPTH`` overrides;
+    0 = fully synchronous, for A/B timing).
 
-    Through the axon tunnel H2D transfer of a flagship semi batch costs
-    ~210 ms — serialising it with dispatch made the real run 0.49 s/step
-    while the same step with pre-uploaded batches sustains 275 ms (measured
-    r3).  Overlapping the upload with device compute recovers the gap.  The
-    reference gets this for free from torch DataLoader worker processes +
-    ``.cuda(non_blocking=True)`` (``train.py:443,466``)."""
+    Keeps host-side batch staging (loader collate + ``device_put`` issue)
+    off the dispatch thread so the device queue never drains while the host
+    prepares the next upload.  The reference gets the same overlap from
+    torch DataLoader worker processes + ``.cuda(non_blocking=True)``
+    (``train.py:443,466``).  Measured A/B on the flagship exact-mode semi
+    config (12 epochs, TPU, r3): depth=2 and depth=0 both run 3.6-3.9
+    s/epoch — ``device_put`` through the axon tunnel is already async, so
+    today this is a guard against host-side staging cost (bigger collates,
+    multi-host sharding), not a measured win."""
     import concurrent.futures as _fut
     from collections import deque
 
+    if depth is None:
+        depth = int(os.environ.get("GEOT_PREFETCH_DEPTH", "2"))
+    if depth <= 0:
+        for item in host_iter:
+            yield put_fn(item)
+        return
     pool = _fut.ThreadPoolExecutor(1)
     try:
         q = deque()

@@ -194,5 +194,8 @@ def test_device_prefetch_preserves_order_and_coverage():
 
     out = list(device_prefetch(iter(range(20)), slow_put, depth=3))
     assert out == [i * 10 for i in range(20)]
+    # depth=0: fully synchronous fallback (GEOT_PREFETCH_DEPTH=0 A/B mode)
+    assert list(device_prefetch(iter(range(5)), slow_put, depth=0)) == \
+        [i * 10 for i in range(5)]
     # empty iterator: no hang, no items
     assert list(device_prefetch(iter(()), slow_put)) == []
