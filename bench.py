@@ -23,7 +23,8 @@ import time
 import numpy as np
 
 _IS_CPU = os.environ.get("BENCH_CPU") == "1"
-BATCH = int(os.environ.get("BENCH_BATCH", "1"))  # B=1 pipelines best (74 vs 67@B2, 60@B8 scans/s)
+BATCH = int(os.environ.get("BENCH_BATCH", "1"))  # B=1 pipelines best: exact
+# 74 vs 67@B2, 60@B8; fast mode 165 vs 153@B2, 145@B4 scans/s (r3 measured)
 N_POINTS = 16000
 WARMUP = 1 if _IS_CPU else 2
 ITERS = int(os.environ.get("BENCH_ITERS", "1" if _IS_CPU else "32"))
