@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax.linen.dtypes import promote_dtype
 
 from ...ops import (fps, fps_stratified, gather_points, grouping_operation,
                     knn, three_interpolation)
@@ -27,6 +28,26 @@ from ..layers.common import DropPath, MlpBlock, SharedMLP, drop_path_rates
 from ..layers.group_embed import GroupTokenizer
 
 xavier = nn.initializers.xavier_uniform()
+
+
+class _FactoredConcatDense(nn.Module):
+    """``Dense(concat([broadcast(g), x]))`` with ``g`` constant along the
+    neighbour axis, factored as ``x @ W_x + (g @ W_g + bias)`` so the big
+    matmul runs per-point instead of per-(point, neighbour).  Exact algebra;
+    owns the same ``kernel``/``bias`` params as the fused ``nn.Dense`` it
+    replaces (checkpoint-compatible)."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, g: jnp.ndarray, x: jnp.ndarray):
+        # g: (B, G, 1, C) shared term, x: (B, G, K, C)
+        C = x.shape[-1]
+        kernel = self.param("kernel", xavier, (2 * C, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        g, x, kernel, bias = promote_dtype(g, x, kernel, bias, dtype=self.dtype)
+        return x @ kernel[C:] + (g @ kernel[:C] + bias)
 
 
 class MiniPointNetEncoder(nn.Module):
@@ -45,8 +66,9 @@ class MiniPointNetEncoder(nn.Module):
         x = nn.relu(x)
         x = nn.Dense(256, kernel_init=xavier, dtype=self.dtype, name="conv1b")(x)
         g = jnp.max(x, axis=2, keepdims=True)                         # (B,G,1,256)
-        x = jnp.concatenate([jnp.broadcast_to(g, x.shape), x], axis=-1)
-        x = nn.Dense(512, kernel_init=xavier, dtype=self.dtype, name="conv2a")(x)
+        # concat([broadcast(g), x]) @ W factored so the global term is
+        # computed once per group, not once per neighbour (exact algebra)
+        x = _FactoredConcatDense(512, dtype=self.dtype, name="conv2a")(g, x)
         x = nn.BatchNorm(use_running_average=not training, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn2")(x)
         x = nn.relu(x)
@@ -185,6 +207,14 @@ class DGCNNPropagation(nn.Module):
 
     The reference hard-codes hidden/output dims 512/384 for trans_dim 384;
     here they scale as (4D/3, D), which reproduces those numbers exactly.
+
+    Perf note (measured, round 3): the concat-then-Dense edge conv is the
+    OPTIMAL structure on this hardware — the (Nq*k, 2C)@(2C, F) dots run at
+    ~190 TFLOP/s (MXU peak) with the neighbour gather fused into the operand.
+    Two factored rewrites (gather(x_k@W_diff) + x_q@(W_cent-W_diff), and a
+    further GroupNorm-stats decomposition with the monotone max-trick) cut
+    FLOPs 5x but replaced peak-MXU work with ~220 GB/s gather/elementwise
+    fusions: 5.19 -> 5.74 / 6.14 ms serving device time.  Don't redo.
     """
 
     k: int = 4
