@@ -179,3 +179,21 @@ def shapenetpart_metrics(num_classes, num_parts, objects, preds, targets,
     class_average = float(np.mean(objs_average))
     acc = total_correct / max(total_seen, 1e-6)
     return acc, objs_average, class_average, instance_average
+
+
+def PSNR(mse, peak: float = 1.0) -> float:
+    """Peak signal-to-noise ratio from an MSE value (reference
+    ``openpoints/utils/metrics.py:8`` — used by the TAP view-generation
+    pretraining eval)."""
+    import math
+
+    return 10.0 * math.log10((peak ** 2) / mse)
+
+
+def cal_model_parm_nums(params) -> int:
+    """Total parameter count of a params pytree (reference
+    ``openpoints/utils/ckpt_util.py:12`` counts a torch module's elements;
+    here the input is a flax params tree or any pytree of arrays)."""
+    import jax
+
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

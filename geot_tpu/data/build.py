@@ -41,6 +41,13 @@ def default_collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
+# reference-name aliases (``openpoints/dataset/build.py:13,30``): one collate
+# covers both — fixed-shape entries stack, ragged full-res eval entries stay
+# as lists
+concat_collate_fn = default_collate
+collate_fn_val = default_collate
+
+
 class DataLoader:
     """Minimal epoch-based loader: shuffling, per-host sharding, thread-pool
     prefetch, drop_last for static batch shapes under jit."""

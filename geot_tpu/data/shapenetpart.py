@@ -55,6 +55,32 @@ def _translate_pointcloud(pc, rng):
     return (pc * xyz1 + xyz2).astype(np.float32)
 
 
+# reference-name module-level helpers (``shapenetpart.py:48-74``); the
+# datasets themselves use the explicit-rng variants above for deterministic
+# epoch-varying augmentation, but the public names stay importable
+def translate_pointcloud(pointcloud, rng=None):
+    return _translate_pointcloud(pointcloud, rng or np.random.default_rng())
+
+
+def jitter_pointcloud(pointcloud, sigma=0.01, clip=0.02, rng=None):
+    """Reference ``shapenetpart.py:61``."""
+    rng = rng or np.random.default_rng()
+    n, c = pointcloud.shape
+    return pointcloud + np.clip(sigma * rng.standard_normal((n, c)),
+                                -clip, clip).astype(pointcloud.dtype)
+
+
+def rotate_pointcloud(pointcloud, rng=None):
+    """Random rotation in the (x, z) plane (reference ``shapenetpart.py:67``)."""
+    rng = rng or np.random.default_rng()
+    theta = np.pi * 2 * rng.uniform()
+    rot = np.array([[np.cos(theta), -np.sin(theta)],
+                    [np.sin(theta), np.cos(theta)]], pointcloud.dtype)
+    out = pointcloud.copy()
+    out[:, [0, 2]] = out[:, [0, 2]] @ rot
+    return out
+
+
 def _synth_part(idx, num_points):
     g = np.random.default_rng(idx)
     pos = g.standard_normal((num_points, 3)).astype(np.float32)

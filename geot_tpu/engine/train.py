@@ -201,8 +201,9 @@ def main(cfg: EasyConfig) -> dict:
     init = jax.jit(model.init, static_argnames=())
     variables = init({"params": rng, "dropout": jax.random.fold_in(rng, 1)},
                      init_batch)
-    nparams = sum(int(np.prod(p.shape))
-                  for p in jax.tree_util.tree_leaves(variables["params"]))
+    from ..core.metrics import cal_model_parm_nums
+
+    nparams = cal_model_parm_nums(variables["params"])
     logger.info(f"model params: {nparams / 1e6:.3f} M")
 
     tx = build_optimizer_from_cfg(None, lr=cfg.lr,

@@ -98,5 +98,7 @@ class identity_loss:
         return jnp.mean(per)
 
 
-# reference-spelling alias (the reference class is ``Idenyity_loss``)
+# reference-spelling aliases (the reference classes are ``Idenyity_loss``
+# and ``threeD_space_loss``, ``utils/insT_loss.py:61,113``)
 Idenyity_loss = identity_loss
+threeD_space_loss = threed_space_loss

@@ -16,6 +16,14 @@ from ...ops import fps, gather_points, grouping_operation, knn
 from ..build import MODELS
 
 
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared distances (B, N, M) via the |a|^2+|b|^2-2ab expansion
+    (reference ``backbone/pointmlp.py:45``)."""
+    d = -2.0 * jnp.einsum("bnc,bmc->bnm", src, dst)
+    d = d + jnp.sum(src ** 2, -1)[:, :, None]
+    return d + jnp.sum(dst ** 2, -1)[:, None, :]
+
+
 class ConvBNReLU(nn.Module):
     channels: int
     bias: bool = True

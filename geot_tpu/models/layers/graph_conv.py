@@ -22,6 +22,14 @@ from ...ops import grouping_operation
 from .knn import DilatedKNN
 
 
+def gather_features(features: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Reference ``layers/graph_conv.py:8``: features (B, C, N, 1) + indices
+    (B, N, K) -> (B, C, N, K).  Channels-first shim over the channels-last
+    ``grouping_operation`` the conv modules here use internally."""
+    out = grouping_operation(jnp.swapaxes(features[..., 0], 1, 2), indices)
+    return out.transpose(0, 3, 1, 2)
+
+
 class _ConvBlock(nn.Module):
     """Dense + BN + ReLU (the reference's ``create_convblock2d`` default)."""
 

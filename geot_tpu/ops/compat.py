@@ -21,6 +21,7 @@ from . import gather_points as _gather
 from . import grouping_operation as _group
 from . import knn as _knn
 from . import three_interpolate as _three_interp
+from . import three_interpolation as _three_interpolation
 from . import three_nn as _three_nn
 
 
@@ -52,6 +53,108 @@ class pointops:
         from .group import index_points as _ip
 
         return _ip(points, idx)
+
+
+class openpoints_pointops(pointops):
+    """``openpoints.cpp.pointops.functions.pointops`` helper API (reference
+    ``:106-259``) — the N4 superset: ``querygroup``/``queryandgroup``/
+    ``interpolation`` plus the vector-attention ``subtraction``/
+    ``aggregation`` ops.
+
+    Layout note: the reference uses flat ``(n, 3)`` arrays with batch
+    ``offset`` vectors; this rebuild is dense-batched ``(B, n, 3)`` throughout
+    (SURVEY §2a mapping note), so the ``offset``/``new_offset`` arguments are
+    accepted for signature parity and ignored.  2-D inputs are treated as a
+    single batch and returned 2-D."""
+
+    @staticmethod
+    def _batched(*arrs):
+        squeeze = arrs[0] is not None and arrs[0].ndim == 2
+        out = tuple(a[None] if (a is not None and squeeze) else a for a in arrs)
+        return squeeze, out
+
+    @staticmethod
+    def queryandgroup(nsample, xyz, new_xyz, feat, idx=None, offset=None,
+                      new_offset=None, use_xyz=True):
+        """Group each new_xyz point's kNN neighbourhood: relative coords
+        (+features) — reference ``pointops.py:152-172``.  Returns
+        ``(..., m, nsample, 3+c)`` (channels-last; the reference returns the
+        same values channels-first)."""
+        squeeze, (xyz, new_xyz, feat) = openpoints_pointops._batched(
+            xyz, new_xyz, feat)
+        if new_xyz is None:
+            new_xyz = xyz
+        if idx is None:
+            _, idx = _knn(new_xyz, xyz, nsample)
+        elif idx.ndim == 2:
+            idx = idx[None]
+        grouped_xyz = _group(xyz, idx) - new_xyz[:, :, None, :]
+        out = grouped_xyz
+        if feat is not None:
+            grouped_feat = _group(feat, idx)
+            out = (jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
+                   if use_xyz else grouped_feat)
+        return out[0] if squeeze else out
+
+    @staticmethod
+    def querygroup(nsample, xyz, new_xyz, feat, offset=None, new_offset=None,
+                   radius=None, query_method="knn", normalize_dp=False,
+                   idx=None):
+        """Reference ``pointops.py:106-149``: kNN or ball query + grouping,
+        optional relative-coordinate normalization; returns
+        ``(grouped_xyz, grouped_feat)``."""
+        squeeze, (xyz, new_xyz, feat) = openpoints_pointops._batched(
+            xyz, new_xyz, feat)
+        if new_xyz is None:
+            new_xyz = xyz
+        if idx is None:
+            if query_method in ("knn", "knnquery"):
+                _, idx = _knn(new_xyz, xyz, nsample)
+            else:
+                idx = _ball_query(radius, nsample, xyz, new_xyz)
+        elif idx.ndim == 2:
+            idx = idx[None]
+        grouped_xyz = _group(xyz, idx) - new_xyz[:, :, None, :]
+        if normalize_dp:
+            if query_method in ("knn", "knnquery"):
+                max_dist = jnp.max(
+                    jnp.linalg.norm(grouped_xyz, axis=-1, keepdims=True),
+                    axis=-2, keepdims=True) + 1e-8
+            else:
+                max_dist = radius
+            grouped_xyz = grouped_xyz / max_dist
+        grouped_feat = _group(feat, idx) if feat is not None else None
+        if squeeze:
+            return grouped_xyz[0], (None if grouped_feat is None
+                                    else grouped_feat[0])
+        return grouped_xyz, grouped_feat
+
+    @staticmethod
+    def interpolation(xyz, new_xyz, feat, offset=None, new_offset=None, k=3):
+        """Inverse-distance k-NN interpolation (reference
+        ``pointops.py:245-259``); k=3 matches ``three_interpolation``."""
+        squeeze, (xyz, new_xyz, feat) = openpoints_pointops._batched(
+            xyz, new_xyz, feat)
+        if k == 3:
+            out = _three_interpolation(new_xyz, xyz, feat)
+        else:
+            dist, idx = _knn(new_xyz, xyz, k)
+            w = 1.0 / (dist + 1e-8)
+            w = w / jnp.sum(w, axis=-1, keepdims=True)           # (B, n, k)
+            out = jnp.sum(_group(feat, idx) * w[..., None], axis=2)
+        return out[0] if squeeze else out
+
+    @staticmethod
+    def subtraction(feat1, feat2, idx):
+        from .vector_attn import subtraction as _sub
+
+        return _sub(feat1, feat2, idx)
+
+    @staticmethod
+    def aggregation(feat, weight, idx):
+        from .vector_attn import aggregation as _agg
+
+        return _agg(feat, weight, idx)
 
 
 class pointnet2_utils:

@@ -24,6 +24,53 @@ def _decay_mask(params) -> Any:
     return jax.tree_util.tree_map(lambda p: p.ndim >= 2, params)
 
 
+def _layer_id_from_path(path) -> int | None:
+    """ViT layer id of a param path (reference ``get_num_layer_for_vit``,
+    ``optim_factory.py:77-90``): embeddings -> 0, ``block_i`` -> i + 1,
+    everything else (decoder/head) -> None (max id, lr scale 1)."""
+    import re
+
+    keys = [getattr(k, "key", str(k)) for k in path]
+    for k in keys:
+        m = re.fullmatch(r"blocks?_(\d+)|block_(\d+)", k)
+        if m:
+            return int(m.group(1) or m.group(2)) + 1
+    joined = "/".join(keys)
+    if any(s in joined for s in ("encoder/", "pos_embed", "reduce_dim",
+                                 "cls_token", "cls_pos", "patch_embed")):
+        return 0
+    return None
+
+
+def layer_decay_scale(layer_decay: float) -> optax.GradientTransformation:
+    """Per-layer learning-rate decay as a final update scale (the JAX
+    equivalent of the reference's ``LayerDecayValueAssigner`` param groups,
+    ``optim_factory.py:58-120``): layer id i gets scale
+    ``layer_decay ** (num_layers + 1 - i)``; the head/decoder gets 1.0.
+    ``num_layers`` is discovered from the params tree (max block index + 1),
+    mirroring the reference's ``model.get_num_layers()``."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        flat = jax.tree_util.tree_flatten_with_path(updates)[0]
+        ids = [_layer_id_from_path(p) for p, _ in flat]
+        num_layers = max([i for i in ids if i is not None], default=0)
+
+        def scale(path, u):
+            lid = _layer_id_from_path(path)
+            if lid is None:
+                return u
+            return u * (layer_decay ** (num_layers + 1 - lid))
+
+        return (jax.tree_util.tree_map_with_path(scale, updates), state)
+
+    return optax.GradientTransformation(init, update)
+
+
 _OPTIMIZERS: Dict[str, Callable] = {}
 
 
@@ -146,6 +193,7 @@ def build_optimizer_from_cfg(params_or_model=None, lr: float = 1e-3,
     ``optax.MultiSteps`` (gradient accumulation — the reference's
     ``cfg.step_per_update``).
     """
+    layer_decay = float(cfg.pop("layer_decay", 0) or 0)
     name = cfg.pop("NAME", "adamw").lower()
     # "lookahead_sgd" / "lookaheadadamw": the reference's timm-style prefix
     # (optim_factory.py: opt.split('_') with a Lookahead wrapper)
@@ -165,6 +213,9 @@ def build_optimizer_from_cfg(params_or_model=None, lr: float = 1e-3,
         if la_kwargs is not None:
             from .extra import lookahead
             tx = optax.chain(tx, lookahead(**la_kwargs))
+        if 0.0 < layer_decay < 1.0:
+            # reference optim_factory.py:177-186 (per-layer lr decay)
+            tx = optax.chain(tx, layer_decay_scale(layer_decay))
         return tx
 
     # inject_hyperparams exposes state.hyperparams['lr_value'] for per-epoch updates
