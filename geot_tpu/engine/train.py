@@ -288,6 +288,10 @@ def main(cfg: EasyConfig) -> dict:
                 "train_over_th_recall_class": "over_th_recall_classwise"}
 
     host_step = int(jax.device_get(state.step))  # one sync; counts on host
+    # reference train.py:694 throttles its in-epoch progress line by
+    # cfg.print_freq; here the line is host-side only (steps *dispatched*:
+    # fetching live metrics would serialise the async pipeline)
+    print_freq = int(cfg.get("print_freq", 0) or 0)
 
     for epoch in range(start_epoch, int(cfg.epochs) + 1):
         train_loader_l.set_epoch(epoch)
@@ -327,6 +331,9 @@ def main(cfg: EasyConfig) -> dict:
                 _accum(metrics)
                 host_step += 1
                 timer.tick(host_step, epoch=epoch)
+                if print_freq and ep_n % print_freq == 0:
+                    logger.info(f"epoch {epoch} step {ep_n} dispatched "
+                                f"({time.time() - t0:.1f}s)")
         else:
             # supervised phase trains the plain TrainState view of the state
             sup_state = TrainState(params=state.params,
@@ -339,6 +346,9 @@ def main(cfg: EasyConfig) -> dict:
                 _accum(metrics)
                 host_step += 1
                 timer.tick(host_step, epoch=epoch)
+                if print_freq and ep_n % print_freq == 0:
+                    logger.info(f"epoch {epoch} step {ep_n} dispatched "
+                                f"({time.time() - t0:.1f}s)")
             if semi_mode:
                 state = state.replace(params=sup_state.params,
                                       batch_stats=sup_state.batch_stats,
