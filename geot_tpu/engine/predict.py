@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -78,12 +79,73 @@ def predict_scan(model, variables, points: np.ndarray, jaw: int = 0,
     return preds[0], np.asarray(logits[0])
 
 
+def predict_stream(model, variables, items, num_points: int = 16000,
+                   seed: int = 0, inflight: int = 8, bucket: int = 8192):
+    """Pipelined multi-scan inference (the batch-serving path).
+
+    ``items``: iterable of ``(name, points (P,3) float np, jaw int)``.
+    Yields ``(name, preds (P,) np.int64, jaw)`` in input order.
+
+    Everything device-side dispatches asynchronously: the forward and the
+    full-resolution three_nn+argmax upsample for scan *i+1..i+inflight* are
+    already queued while scan *i*'s predictions are still in flight, so host
+    parse/normalise work and D2H fetches overlap device compute (the device
+    executes FIFO).  Full scans are padded to ``bucket`` multiples so the
+    upsample jit compiles once per bucket, exactly like ``engine.eval``.
+    """
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    from .eval import _upsample_pred
+
+    fwd = jax.jit(lambda v, b: jax.nn.softmax(
+        model.apply(v, b)[0][0], axis=-1))
+    rng = np.random.default_rng(seed)
+    pending = collections.deque()
+
+    def _drain(n):
+        while len(pending) > n:
+            name, P, jaw, dev = pending.popleft()
+            yield name, np.asarray(dev)[:P], jaw
+
+    for name, points, jaw in items:
+        points = np.asarray(points, dtype=np.float32)
+        points_norm, center, scale = pc_norm(points)
+        sel = rng.choice(len(points_norm), num_points,
+                         replace=len(points_norm) < num_points)
+        pos = jnp.asarray(points_norm[sel][None])
+        probs = fwd(variables, {"pos": pos, "x": pos,
+                                "cls": jnp.full((1, 1), jaw, jnp.int32)})
+        P = len(points)
+        padded = np.zeros((-(-P // bucket) * bucket, 3), np.float32)
+        padded[:P] = points
+        dev = _upsample_pred(probs, pos[0], jnp.asarray(padded),
+                             jnp.asarray(center), jnp.asarray(np.float32(scale)))
+        pending.append((name, P, jaw, dev))
+        yield from _drain(inflight)
+    yield from _drain(0)
+
+
+def _iter_scan_files(root):
+    exts = (".obj", ".npy")
+    names = sorted(n for n in os.listdir(root)
+                   if os.path.splitext(n)[1].lower() in exts)
+    for n in names:
+        path = os.path.join(root, n)
+        pts = np.load(path) if n.endswith(".npy") else load_obj_vertices(path)
+        yield n, pts, (0 if "lower" in n.lower() else 1)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser("GeoT-TPU inference")
     parser.add_argument("--cfg", required=True)
     parser.add_argument("--ckpt", default=None,
                         help="orbax checkpoint dir or reference .pth")
-    parser.add_argument("--input", required=True, help=".obj scan (or .npy Nx3)")
+    parser.add_argument("--input", required=True,
+                        help=".obj scan, .npy Nx3, or a DIRECTORY of scans "
+                             "(streamed with a pipelined dispatch window)")
     parser.add_argument("--output", default="labels.json")
     parser.add_argument("--ply", default=None, help="optional coloured PLY out")
     parser.add_argument("--jaw", type=int, default=None,
@@ -102,6 +164,30 @@ def main(argv=None):
     if args.fast:
         cfg.model.segmentor_args.fast_pyramid = 1024
         cfg.model.segmentor_args.fast_graph = True
+
+    if os.path.isdir(args.input):
+        # batch-serving mode: stream every scan in the directory through a
+        # pipelined dispatch window; --output is a directory of per-scan json
+        model, variables = load_model_and_params(cfg, args.ckpt)
+        os.makedirs(args.output, exist_ok=True)
+        num_points = int(cfg.get("num_points", 16000))
+        t0, n_done = time.time(), 0
+        for name, pred, jaw in predict_stream(model, variables,
+                                              _iter_scan_files(args.input),
+                                              num_points=num_points):
+            id2fdi = _ID2FDI_LOWER if jaw == 0 else _ID2FDI_UPPER
+            labels = [int(id2fdi[int(c)]) for c in pred]
+            out = os.path.join(args.output,
+                               os.path.splitext(name)[0] + ".json")
+            with open(out, "w") as f:
+                json.dump({"labels": labels,
+                           "jaw": "lower" if jaw == 0 else "upper",
+                           "n_points": len(labels)}, f)
+            n_done += 1
+        dt = time.time() - t0
+        print(f"wrote {n_done} scans to {args.output} in {dt:.2f}s "
+              f"({n_done / max(dt, 1e-9):.1f} scans/s end-to-end)")
+        return n_done
 
     jaw = args.jaw
     if jaw is None:

@@ -70,8 +70,10 @@ def _fps_kernel(xyz_ref, lut_ref, out_ref, mind_ref, *, npoint, n_valid, g):
             y = xyz_ref[k, 1]
             z = xyz_ref[k, 2]
             d2 = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
-            m = jnp.minimum(mind_ref[k * SUB:(k + 1) * SUB, :],
-                            jnp.where(valid, d2, -1.0))
+            # no `where(valid, ...)` needed: padded slots start at -1 and
+            # d2 >= 0, so min() pins them at -1 forever (one select saved
+            # per step over the full array)
+            m = jnp.minimum(mind_ref[k * SUB:(k + 1) * SUB, :], d2)
             mind_ref[k * SUB:(k + 1) * SUB, :] = m
             mx = jnp.max(m)
             best = jnp.min(jnp.where(m == mx, iota, NP)).astype(jnp.int32)

@@ -44,3 +44,27 @@ def test_profiler_and_writer(tmp_path):
     w.close()
     line = json.loads(open(tmp_path / "scalars.jsonl").read().strip())
     assert line["tag"] == "loss" and line["step"] == 3
+
+
+@pytest.mark.slow
+def test_predict_stream_directory(tmp_path):
+    """Directory batch mode: every scan gets a json, order preserved,
+    predictions identical to the one-shot path on the same draw."""
+    scans = tmp_path / "scans"
+    scans.mkdir()
+    sizes = {"a_lower.npy": 3000, "b_upper.npy": 5000, "c_lower.npy": 3000}
+    for name, n in sizes.items():
+        pts, _ = _synthetic_scan(hash(name) % 97, n)
+        np.save(scans / name, pts)
+    outdir = tmp_path / "out"
+    cfg = os.path.join(os.path.dirname(__file__), "..", "cfgs", "tooth_semi",
+                       "smoke.yaml")
+    n = main(["--cfg", cfg, "--input", str(scans), "--output", str(outdir),
+              "num_points=256"])
+    assert n == 3
+    for name, npts in sizes.items():
+        d = json.load(open(outdir / (name.replace(".npy", ".json"))))
+        assert d["n_points"] == npts
+        lo = d["jaw"] == "lower"
+        assert all(l == 0 or (31 <= l <= 48 if lo else 11 <= l <= 28)
+                   for l in d["labels"])
