@@ -61,10 +61,25 @@ def load_model_and_params(cfg, ckpt_path: str | None):
     return model, variables
 
 
+# jitted forwards keyed per model instance: a fresh jit(lambda ...) per call
+# would retrace every request (jit caches by function identity) — fatal for
+# the serving endpoint, which calls predict_scan once per HTTP request
+_FWD_CACHE: dict = {}
+
+
+def _get_fwd(model):
+    import jax
+
+    entry = _FWD_CACHE.get(id(model))
+    if entry is None or entry[0] is not model:
+        entry = (model, jax.jit(lambda v, b: model.apply(v, b)))
+        _FWD_CACHE[id(model)] = entry
+    return entry[1]
+
+
 def predict_scan(model, variables, points: np.ndarray, jaw: int = 0,
                  num_points: int = 16000, seed: int = 0):
     """points (P, 3) raw scan -> (full-res predictions (P,), sampled logits)."""
-    import jax
     import jax.numpy as jnp
 
     points_norm, center, scale = pc_norm(points.astype(np.float32))
@@ -74,7 +89,7 @@ def predict_scan(model, variables, points: np.ndarray, jaw: int = 0,
     pos = points_norm[sel][None]
     batch = {"pos": jnp.asarray(pos), "x": jnp.asarray(pos),
              "cls": jnp.full((1, 1), jaw, jnp.int32)}
-    logits, *_ = jax.jit(lambda v, b: model.apply(v, b))(variables, batch)
+    logits, *_ = _get_fwd(model)(variables, batch)
     preds = get_pred_whole(logits, pos, [points], [center], [scale])
     return preds[0], np.asarray(logits[0])
 

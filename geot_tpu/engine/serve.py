@@ -1,0 +1,153 @@
+"""HTTP serving endpoint — network front-end for the inference pipeline.
+
+The reference stops at a training loop; a deployable framework needs a
+service.  This is a dependency-free (stdlib ``http.server``) endpoint over
+the same pipeline as ``engine.predict``: OBJ/NPY scan in, FDI labels out.
+
+    python -m geot_tpu.engine.serve --cfg cfgs/tooth_semi/<x>.yaml \
+        --ckpt <orbax dir | .pth> [--port 8756] [--fast]
+
+API:
+  GET  /healthz                    -> {"status": "ok", "scans_served": N}
+  POST /predict?jaw={lower|upper}  body: .npy bytes (P, 3) float or OBJ text
+                                   -> {"labels": [...FDI...], "n_points": P,
+                                       "jaw": ..., "seconds": t}
+
+Requests are served from a single dispatch thread (the device executes FIFO
+and jit functions are not re-entrant across threads with donated buffers), so
+concurrency comes from the device pipeline, not Python threads.  Model +
+upsample programs are compiled at startup via a warmup scan so the first
+request pays no compile.
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ..core.config import EasyConfig
+from .predict import (_ID2FDI_LOWER, _ID2FDI_UPPER, load_model_and_params,
+                      predict_scan)
+
+
+class _Service:
+    """Model state + a lock serialising device dispatch across HTTP threads."""
+
+    def __init__(self, cfg, ckpt=None, warmup: bool = True):
+        self.cfg = cfg
+        self.num_points = int(cfg.get("num_points", 16000))
+        self.model, self.variables = load_model_and_params(cfg, ckpt)
+        self.lock = threading.Lock()
+        self.scans_served = 0
+        if warmup:   # compile forward + one upsample bucket before serving
+            pts = np.random.default_rng(0).standard_normal((8192, 3))
+            self.predict(pts.astype(np.float32), jaw=0)
+            self.scans_served = 0
+
+    def predict(self, points: np.ndarray, jaw: int):
+        with self.lock:
+            pred, _ = predict_scan(self.model, self.variables, points,
+                                   jaw=jaw, num_points=self.num_points)
+            self.scans_served += 1
+        id2fdi = _ID2FDI_LOWER if jaw == 0 else _ID2FDI_UPPER
+        return [int(id2fdi[int(c)]) for c in pred]
+
+
+def _parse_body(body: bytes) -> np.ndarray:
+    if body[:6] == b"\x93NUMPY":
+        pts = np.load(io.BytesIO(body))
+    else:  # OBJ text: keep `v x y z` lines
+        pts = np.array([[float(t) for t in line.split()[1:4]]
+                        for line in body.decode().splitlines()
+                        if line.startswith("v ")], dtype=np.float32)
+    pts = np.asarray(pts, dtype=np.float32)
+    if pts.ndim != 2 or pts.shape[1] != 3 or len(pts) < 4:
+        raise ValueError(f"expected (P>=4, 3) points, got {pts.shape}")
+    return pts
+
+
+def make_handler(service: _Service):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet; the service logs via responses
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._send(200, {"status": "ok",
+                                 "scans_served": service.scans_served})
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/predict":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                jaw_s = parse_qs(url.query).get("jaw", ["lower"])[0]
+                jaw = 0 if jaw_s == "lower" else 1
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                points = _parse_body(body)
+                t0 = time.time()
+                labels = service.predict(points, jaw)
+                self._send(200, {"labels": labels, "n_points": len(labels),
+                                 "jaw": jaw_s,
+                                 "seconds": round(time.time() - t0, 4)})
+            except Exception as e:  # noqa: BLE001 — report, keep serving
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(cfg, ckpt=None, port: int = 8756, warmup: bool = True):
+    """Build the service and return a started ``ThreadingHTTPServer``
+    (caller owns shutdown; port 0 picks a free port)."""
+    service = _Service(cfg, ckpt, warmup=warmup)
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    return httpd
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("GeoT-TPU serving endpoint")
+    parser.add_argument("--cfg", required=True)
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--port", type=int, default=8756)
+    parser.add_argument("--fast", action="store_true",
+                        help="stratified-FPS + fast_graph serving path")
+    args, opts = parser.parse_known_args(argv)
+
+    cfg = EasyConfig()
+    cfg.load(args.cfg, recursive=True)
+    cfg.update(opts)
+    if args.fast:
+        cfg.model.segmentor_args.fast_pyramid = 1024
+        cfg.model.segmentor_args.fast_graph = True
+
+    httpd = serve(cfg, args.ckpt, port=args.port)
+    print(f"serving on http://127.0.0.1:{httpd.server_address[1]} "
+          f"(POST /predict, GET /healthz)")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()

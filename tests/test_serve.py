@@ -1,0 +1,63 @@
+"""HTTP serving endpoint end-to-end test (stdlib client, tiny model)."""
+import io
+import json
+import os
+import urllib.request
+
+import numpy as np
+import pytest
+
+from geot_tpu.core.config import EasyConfig
+from geot_tpu.data.tooth_semi import _synthetic_scan
+from geot_tpu.engine.serve import serve
+
+CFG = os.path.join(os.path.dirname(__file__), "..", "cfgs", "tooth_semi",
+                   "smoke.yaml")
+
+
+@pytest.mark.slow
+def test_serve_end_to_end():
+    cfg = EasyConfig()
+    cfg.load(CFG, recursive=True)
+    cfg.num_points = 256
+    httpd = serve(cfg, ckpt=None, port=0, warmup=False)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=300) as r:
+            assert json.load(r)["status"] == "ok"
+
+        pts, _ = _synthetic_scan(3, 4000)
+        buf = io.BytesIO()
+        np.save(buf, pts.astype(np.float32))
+        req = urllib.request.Request(f"{base}/predict?jaw=upper",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            d = json.load(r)
+        assert d["n_points"] == 4000 and d["jaw"] == "upper"
+        assert all(l == 0 or 11 <= l <= 28 for l in d["labels"])
+
+        # OBJ text body on the same server (second request, no recompile)
+        obj = "".join(f"v {p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n" for p in pts)
+        req = urllib.request.Request(f"{base}/predict?jaw=lower",
+                                     data=obj.encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            d = json.load(r)
+        assert d["n_points"] == 4000
+        assert all(l == 0 or 31 <= l <= 48 for l in d["labels"])
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=300) as r:
+            assert json.load(r)["scans_served"] == 2
+
+        # malformed body -> 400, server stays up
+        req = urllib.request.Request(f"{base}/predict",
+                                     data=b"garbage", method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=300)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(f"{base}/healthz", timeout=300) as r:
+            assert json.load(r)["status"] == "ok"
+    finally:
+        httpd.shutdown()
