@@ -130,7 +130,15 @@ def validate(eval_step, variables, val_loader, cfg, logger=None,
     # (~0.5 MB/sample). Cache the device-resident eval tensors on the loader
     # after the first pass; later validations are device-bound.
     use_cache = bool(cfg.get("eval_device_cache", True)) if cfg else True
-    cache = getattr(val_loader, "_geot_eval_cache", None) if use_cache else None
+    # the cache is placement-specific: entries built for mesh=None are plain
+    # default-device arrays, useless (and silently single-device) under a
+    # mesh — key it on the placement and rebuild on mismatch
+    cache_key = tuple(map(str, mesh.devices.flat)) if mesh is not None else None
+    cache = None
+    if use_cache:
+        stored = getattr(val_loader, "_geot_eval_cache", None)
+        if stored is not None and stored[0] == cache_key:
+            cache = stored[1]
     if mesh is not None:
         from ..parallel import shard_batch
         put_model = lambda d: shard_batch(d, mesh)          # noqa: E731
@@ -178,7 +186,7 @@ def validate(eval_step, variables, val_loader, cfg, logger=None,
                 entry["samples"].append(placed)
             cache.append(entry)
         if use_cache:
-            val_loader._geot_eval_cache = cache
+            val_loader._geot_eval_cache = (cache_key, cache)
 
     for entry in cache:
         model_batch = entry["model_batch"]

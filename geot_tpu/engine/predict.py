@@ -63,17 +63,21 @@ def load_model_and_params(cfg, ckpt_path: str | None):
 
 # jitted forwards keyed per model instance: a fresh jit(lambda ...) per call
 # would retrace every request (jit caches by function identity) — fatal for
-# the serving endpoint, which calls predict_scan once per HTTP request
-_FWD_CACHE: dict = {}
+# the serving endpoint, which calls predict_scan once per HTTP request.
+# Bounded LRU so model-constructing sweeps don't pin executables forever.
+_FWD_CACHE: "dict[int, tuple]" = {}
+_FWD_CACHE_MAX = 4
 
 
 def _get_fwd(model):
     import jax
 
-    entry = _FWD_CACHE.get(id(model))
+    entry = _FWD_CACHE.pop(id(model), None)
     if entry is None or entry[0] is not model:
         entry = (model, jax.jit(lambda v, b: model.apply(v, b)))
-        _FWD_CACHE[id(model)] = entry
+    _FWD_CACHE[id(model)] = entry          # (re)insert as most-recent
+    while len(_FWD_CACHE) > _FWD_CACHE_MAX:
+        _FWD_CACHE.pop(next(iter(_FWD_CACHE)))
     return entry[1]
 
 
@@ -122,8 +126,8 @@ def predict_stream(model, variables, items, num_points: int = 16000,
 
     def _drain(n):
         while len(pending) > n:
-            name, P, jaw, dev = pending.popleft()
-            yield name, np.asarray(dev)[:P], jaw
+            name, pts, jaw, dev = pending.popleft()
+            yield name, pts, np.asarray(dev)[:len(pts)], jaw
 
     for name, points, jaw in items:
         points = np.asarray(points, dtype=np.float32)
@@ -138,19 +142,21 @@ def predict_stream(model, variables, items, num_points: int = 16000,
         padded[:P] = points
         dev = _upsample_pred(probs, pos[0], jnp.asarray(padded),
                              jnp.asarray(center), jnp.asarray(np.float32(scale)))
-        pending.append((name, P, jaw, dev))
+        pending.append((name, points, jaw, dev))
         yield from _drain(inflight)
     yield from _drain(0)
 
 
-def _iter_scan_files(root):
+def _iter_scan_files(root, jaw=None):
     exts = (".obj", ".npy")
     names = sorted(n for n in os.listdir(root)
                    if os.path.splitext(n)[1].lower() in exts)
     for n in names:
         path = os.path.join(root, n)
-        pts = np.load(path) if n.endswith(".npy") else load_obj_vertices(path)
-        yield n, pts, (0 if "lower" in n.lower() else 1)
+        pts = (np.load(path) if n.lower().endswith(".npy")
+               else load_obj_vertices(path))
+        yield n, pts, (jaw if jaw is not None
+                       else 0 if "lower" in n.lower() else 1)
 
 
 def main(argv=None):
@@ -187,17 +193,21 @@ def main(argv=None):
         os.makedirs(args.output, exist_ok=True)
         num_points = int(cfg.get("num_points", 16000))
         t0, n_done = time.time(), 0
-        for name, pred, jaw in predict_stream(model, variables,
-                                              _iter_scan_files(args.input),
-                                              num_points=num_points):
+        items = _iter_scan_files(args.input, jaw=args.jaw)
+        for name, points, pred, jaw in predict_stream(model, variables, items,
+                                                      num_points=num_points):
             id2fdi = _ID2FDI_LOWER if jaw == 0 else _ID2FDI_UPPER
             labels = [int(id2fdi[int(c)]) for c in pred]
-            out = os.path.join(args.output,
-                               os.path.splitext(name)[0] + ".json")
-            with open(out, "w") as f:
+            stem = os.path.splitext(name)[0]
+            with open(os.path.join(args.output, stem + ".json"), "w") as f:
                 json.dump({"labels": labels,
                            "jaw": "lower" if jaw == 0 else "upper",
                            "n_points": len(labels)}, f)
+            if args.ply:  # directory mode: --ply enables per-scan PLYs
+                from ..utils import save_ply
+
+                save_ply(os.path.join(args.output, stem + ".ply"),
+                         points, labels=pred)
             n_done += 1
         dt = time.time() - t0
         print(f"wrote {n_done} scans to {args.output} in {dt:.2f}s "

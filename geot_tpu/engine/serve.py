@@ -99,6 +99,8 @@ def make_handler(service: _Service):
                 return
             try:
                 jaw_s = parse_qs(url.query).get("jaw", ["lower"])[0]
+                if jaw_s not in ("lower", "upper"):
+                    raise ValueError(f"jaw must be lower|upper, got {jaw_s!r}")
                 jaw = 0 if jaw_s == "lower" else 1
                 body = self.rfile.read(int(self.headers["Content-Length"]))
                 points = _parse_body(body)

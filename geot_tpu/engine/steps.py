@@ -280,8 +280,17 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
         updates, opt_state = tx.update(g_model, opt_state, state.params, **extra)
         params = optax.apply_updates(state.params, updates)
 
+        t_extra = {}
+        if needs_hessian:
+            # t_tx is built from the same cfg.optimizer, so AdaHessian needs
+            # the curvature pytree for the T-predictor parameters too
+            t_grad_only = lambda tp: jax.grad(  # noqa: E731
+                loss_fn, has_aux=True)((state.params, tp))[0][1]
+            t_extra["hessian_diag"] = hutchinson_diag(
+                t_grad_only, state.t_params, jax.random.fold_in(rng, 0x7EC0))
         t_opt_state = set_learning_rate(state.t_opt_state, lr)
-        t_updates, t_opt_state = t_tx.update(g_t, t_opt_state, state.t_params)
+        t_updates, t_opt_state = t_tx.update(g_t, t_opt_state, state.t_params,
+                                             **t_extra)
         t_params = optax.apply_updates(state.t_params, t_updates)
 
         # --- diagnostics (reference ``train.py:607-644``) -------------------

@@ -36,9 +36,10 @@ def _model_batch(batch, put):
 
 
 def _semi_batch(batch, put):
-    return put({k: batch[k]
-                for k in ("pos_w", "x_w", "cls_w", "pos_s", "x_s", "cls_s",
-                          "raw_pos", "y")})
+    # "cur" (per-point curvature, consumed by Poly1FocalLoss_U_Cur's gating)
+    # is optional: only datasets that carry curvature emit it
+    keys = ("pos_w", "x_w", "cls_w", "pos_s", "x_s", "cls_s", "raw_pos", "y")
+    return put({k: batch[k] for k in keys + (("cur",) if "cur" in batch else ())})
 
 
 def device_prefetch(host_iter, put_fn, depth: int | None = None):

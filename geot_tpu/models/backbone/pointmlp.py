@@ -17,11 +17,11 @@ from ..build import MODELS
 
 
 def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
-    """Pairwise squared distances (B, N, M) via the |a|^2+|b|^2-2ab expansion
-    (reference ``backbone/pointmlp.py:45``)."""
-    d = -2.0 * jnp.einsum("bnc,bmc->bnm", src, dst)
-    d = d + jnp.sum(src ** 2, -1)[:, :, None]
-    return d + jnp.sum(dst ** 2, -1)[:, None, :]
+    """Pairwise squared distances (B, N, M) — reference name
+    (``backbone/pointmlp.py:45``) for ``ops.knn.pairwise_dist2``."""
+    from ...ops.knn import pairwise_dist2
+
+    return pairwise_dist2(src, dst)
 
 
 class ConvBNReLU(nn.Module):

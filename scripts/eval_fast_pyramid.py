@@ -30,9 +30,10 @@ def main():
     run = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_RUN
     cfg = EasyConfig()
     cfg.load(os.path.join(run, "cfg.yaml"))
-    best = [os.path.join(run, "checkpoint", d)
-            for d in os.listdir(os.path.join(run, "checkpoint"))
-            if d.endswith("_ckpt_best")][0]
+    ckdir = os.path.join(run, "checkpoint")
+    cands = ([d for d in os.listdir(ckdir) if d.endswith("_ckpt_best")]
+             or sorted(os.listdir(ckdir)))   # params-only artifact dirs
+    best = os.path.join(ckdir, cands[0])
     variables = load_variables(best)
 
     val_loader = build_dataloader_from_cfg(

@@ -47,8 +47,10 @@ def build_all(cfg_extra, opt_name="adamw"):
         {"params": key, "dropout": jax.random.fold_in(key, 1)}, bl)
     t_vars = t_pred.init(jax.random.fold_in(key, 2),
                          jnp.full((1, 8, 17), 1 / 17.0), jnp.eye(17))
+    # t_tx mirrors train.py:233 — built from the SAME cfg.optimizer, so an
+    # adahessian config must feed hessian_diag to both updates
     tx = build_optimizer_from_cfg(None, lr=1e-3, NAME=opt_name)
-    t_tx = build_optimizer_from_cfg(None, lr=1e-3, NAME="adamw")
+    t_tx = build_optimizer_from_cfg(None, lr=1e-3, NAME=opt_name)
     state = SemiTrainState.create(variables, tx, t_vars, t_tx, 17,
                                   jax.random.fold_in(key, 3), contrast_dim=48)
     step = make_semi_step(model, model, t_pred, tx, t_tx, cfg)
@@ -203,3 +205,31 @@ def test_adahessian_trains_a_step(mode):
     moved = max(float(np.abs(a - np.asarray(b)).max())
                 for a, b in zip(p_before, p_after))
     assert moved > 0, "params must update"
+
+
+@pytest.mark.slow
+def test_u_cur_consumes_curvature():
+    """Poly1FocalLoss_U_Cur must gate on the batch's ``cur`` when present
+    (review r3: the loader whitelist dropped 'cur', silently degenerating the
+    criterion to confidence gating)."""
+    from geot_tpu.engine.train import _semi_batch
+
+    extra = {"criterion_u_args": {"NAME": "Poly1FocalLoss_U_Cur"},
+             "threshold": 0.0}
+    losses = {}
+    for tag, cur_val in [("lo", -1.0), ("hi", 1.0)]:
+        step, state, bl, bu = build_all(extra)
+        bu = dict(bu, cur=jnp.full((2, N), cur_val))
+        _, metrics = step(state, bl, bu, jnp.float32(1e-3), True)
+        losses[tag] = float(metrics["unsup_loss"])
+    # cur=-1 fails the >=0 gate everywhere -> empty mask -> ~0 loss
+    assert abs(losses["lo"]) < 1e-6
+    assert losses["hi"] != losses["lo"]
+
+    # the engine's device-batch whitelist forwards 'cur' when the dataset
+    # emits it (and omits it otherwise, keeping the pytree structure stable)
+    put = lambda d: d  # noqa: E731
+    base = {k: np.zeros(2) for k in ("pos_w", "x_w", "cls_w", "pos_s", "x_s",
+                                     "cls_s", "raw_pos", "y")}
+    assert "cur" not in _semi_batch(dict(base), put)
+    assert "cur" in _semi_batch(dict(base, cur=np.ones(2)), put)
