@@ -52,7 +52,8 @@ def load_model_and_params(cfg, ckpt_path: str | None):
             from flax.serialization import from_state_dict
             import orbax.checkpoint as ocp
 
-            payload = ocp.StandardCheckpointer().restore(ckpt_path)
+            payload = ocp.StandardCheckpointer().restore(
+                os.path.abspath(ckpt_path))  # orbax requires absolute paths
             state = payload["state"]
             variables = {"params": from_state_dict(variables["params"],
                                                    state["params"]),
@@ -121,6 +122,10 @@ def predict_stream(model, variables, items, num_points: int = 16000,
 
     fwd = jax.jit(lambda v, b: jax.nn.softmax(
         model.apply(v, b)[0][0], axis=-1))
+    # class ids fit in a byte (17 classes): fetching uint8 labels is 4x less
+    # D2H than the argmax's int32 — the fetch is the streaming bottleneck on
+    # thin links
+    upsample_u8 = jax.jit(lambda *a: _upsample_pred(*a).astype(jnp.uint8))
     rng = np.random.default_rng(seed)
     pending = collections.deque()
 
@@ -140,8 +145,8 @@ def predict_stream(model, variables, items, num_points: int = 16000,
         P = len(points)
         padded = np.zeros((-(-P // bucket) * bucket, 3), np.float32)
         padded[:P] = points
-        dev = _upsample_pred(probs, pos[0], jnp.asarray(padded),
-                             jnp.asarray(center), jnp.asarray(np.float32(scale)))
+        dev = upsample_u8(probs, pos[0], jnp.asarray(padded),
+                          jnp.asarray(center), jnp.asarray(np.float32(scale)))
         pending.append((name, points, jaw, dev))
         yield from _drain(inflight)
     yield from _drain(0)
