@@ -11,6 +11,7 @@ of the metrics.
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, List
 
 import jax
@@ -36,10 +37,12 @@ def _upsample_pred(probs, pos, full_points, center, scale):
 
 
 def get_pred_whole(logits, pos, full_points_list, centers, scales,
-                   bucket: int = 8192) -> List[np.ndarray]:
+                   bucket: int = 8192, dtype=None) -> List[np.ndarray]:
     """Per-sample full-resolution predictions (reference ``train.py:781-800``).
 
     logits (B, N, C) raw; full_points_list: list of (P_i, 3) numpy arrays.
+    ``dtype``: fetch the class ids in a narrower dtype (e.g. ``np.uint8`` —
+    4x less D2H; all class counts here fit a byte).
     """
     probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
     preds = []
@@ -53,11 +56,15 @@ def get_pred_whole(logits, pos, full_points_list, centers, scales,
                               jnp.asarray(padded),
                               jnp.asarray(np.asarray(centers[i], dtype=np.float32)),
                               jnp.asarray(np.float32(scales[i])))
+        if dtype is not None:
+            pred = _cast_pred(pred, np.dtype(dtype).name)
         preds.append(np.asarray(pred)[:P])
     return preds
 
 
-import functools
+@functools.partial(jax.jit, static_argnums=(1,))
+def _cast_pred(pred, dtype_name: str):
+    return pred.astype(dtype_name)
 
 
 @functools.partial(jax.jit, static_argnums=(7,))

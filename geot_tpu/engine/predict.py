@@ -95,7 +95,9 @@ def predict_scan(model, variables, points: np.ndarray, jaw: int = 0,
     batch = {"pos": jnp.asarray(pos), "x": jnp.asarray(pos),
              "cls": jnp.full((1, 1), jaw, jnp.int32)}
     logits, *_ = _get_fwd(model)(variables, batch)
-    preds = get_pred_whole(logits, pos, [points], [center], [scale])
+    # uint8 labels: 4x less D2H than int32 argmax (17 classes fit a byte)
+    preds = get_pred_whole(logits, pos, [points], [center], [scale],
+                           dtype=np.uint8)
     return preds[0], np.asarray(logits[0])
 
 
