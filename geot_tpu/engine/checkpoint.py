@@ -57,13 +57,30 @@ def load_checkpoint(path: str, template_state):
 
     Restores structure-free first (the ``extra`` metrics dict varies between
     runs), then grafts the state leaves onto the template's pytree structure.
+    Params-only artifacts (e.g. the committed serving checkpoints) restore
+    partially: absent top-level fields (optimizer state, queues, rng) keep
+    the template's fresh values, so ``mode=resume`` fine-tunes from them.
     """
     import orbax.checkpoint as ocp
-    from flax.serialization import from_state_dict
+    from flax.serialization import from_state_dict, to_state_dict
 
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(os.path.abspath(path))
-    state = from_state_dict(template_state, payload["state"])
+    saved = payload["state"]
+    full = to_state_dict(template_state)
+    missing = [k for k in full if k not in saved]
+    if missing:
+
+        def _merge(dst, src):
+            for k, v in src.items():
+                if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                    _merge(dst[k], v)
+                else:
+                    dst[k] = v
+
+        _merge(full, saved)
+        saved = full
+    state = from_state_dict(template_state, saved)
     return state, payload["epoch"], payload.get("extra", {})
 
 
