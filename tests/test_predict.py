@@ -68,3 +68,28 @@ def test_predict_stream_directory(tmp_path):
         lo = d["jaw"] == "lower"
         assert all(l == 0 or (31 <= l <= 48 if lo else 11 <= l <= 28)
                    for l in d["labels"])
+
+
+@pytest.mark.slow
+def test_predict_cli_votes(tmp_path):
+    """--votes runs TTA passes through the cfg's vote pipeline and still
+    produces valid full-res labels."""
+    pts, _ = _synthetic_scan(9, 3000)
+    npy = tmp_path / "scan_lower.npy"
+    np.save(npy, pts)
+    out = tmp_path / "pred.json"
+    cfg = os.path.join(os.path.dirname(__file__), "..", "cfgs", "tooth_semi",
+                       "transformer_finetune_fixmatch_ntm.yaml")
+    main(["--cfg", cfg, "--input", str(npy), "--output", str(out),
+          "--votes", "2", "num_points=256",
+          "model.segmentor_args.trans_dim=48",
+          "model.segmentor_args.depth=3",
+          "model.segmentor_args.num_heads=4",
+          "model.segmentor_args.group_size=8",
+          "model.segmentor_args.num_group=16",
+          "model.segmentor_args.encoder_dims=32",
+          "model.segmentor_args.downsample_targets=[128,64,32]",
+          "model.segmentor_args.extract_layers=[1,2,3]"])
+    d = json.load(open(out))
+    assert d["n_points"] == 3000
+    assert all(l == 0 or 31 <= l <= 48 for l in d["labels"])
