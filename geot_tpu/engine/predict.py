@@ -118,18 +118,25 @@ def predict_scan(model, variables, points: np.ndarray, jaw: int = 0,
 
 
 def predict_stream(model, variables, items, num_points: int = 16000,
-                   seed: int = 0, inflight: int = 8, bucket: int = 8192):
+                   seed: int = 0, inflight: int = 8, bucket: int = 8192,
+                   devices=None):
     """Pipelined multi-scan inference (the batch-serving path).
 
     ``items``: iterable of ``(name, points (P,3) float np, jaw int)``.
-    Yields ``(name, preds (P,) np.int64, jaw)`` in input order.
+    Yields ``(name, points, preds (P,) np.uint8, jaw)`` in input order.
 
     Everything device-side dispatches asynchronously: the forward and the
     full-resolution three_nn+argmax upsample for scan *i+1..i+inflight* are
     already queued while scan *i*'s predictions are still in flight, so host
-    parse/normalise work and D2H fetches overlap device compute (the device
+    parse/normalise work and D2H fetches overlap device compute (each device
     executes FIFO).  Full scans are padded to ``bucket`` multiples so the
     upsample jit compiles once per bucket, exactly like ``engine.eval``.
+
+    ``devices``: round-robin scans across these devices with per-device
+    parameter replicas (serving scale-out: per-cloud serial chains pipeline
+    best solo, so one scan per device beats batching — the B=1 result from
+    ``bench.py``).  Default: single default device.  Results are
+    device-placement-invariant (tested on the 8-device CPU mesh).
     """
     import collections
 
@@ -147,24 +154,35 @@ def predict_stream(model, variables, items, num_points: int = 16000,
     rng = np.random.default_rng(seed)
     pending = collections.deque()
 
+    if devices:
+        replicas = [jax.device_put(variables, d) for d in devices]
+        inflight = max(inflight, 2 * len(devices))  # keep every queue fed
+    else:
+        devices, replicas = [None], [variables]
+
+    def _put(x, d):
+        return jax.device_put(x, d) if d is not None else jnp.asarray(x)
+
     def _drain(n):
         while len(pending) > n:
             name, pts, jaw, dev = pending.popleft()
             yield name, pts, np.asarray(dev)[:len(pts)], jaw
 
-    for name, points, jaw in items:
+    for i, (name, points, jaw) in enumerate(items):
+        d = devices[i % len(devices)]
+        v = replicas[i % len(devices)]
         points = np.asarray(points, dtype=np.float32)
         points_norm, center, scale = pc_norm(points)
         sel = rng.choice(len(points_norm), num_points,
                          replace=len(points_norm) < num_points)
-        pos = jnp.asarray(points_norm[sel][None])
-        probs = fwd(variables, {"pos": pos, "x": pos,
-                                "cls": jnp.full((1, 1), jaw, jnp.int32)})
+        pos = _put(points_norm[sel][None], d)
+        probs = fwd(v, {"pos": pos, "x": pos,
+                        "cls": _put(np.full((1, 1), jaw, np.int32), d)})
         P = len(points)
         padded = np.zeros((-(-P // bucket) * bucket, 3), np.float32)
         padded[:P] = points
-        dev = upsample_u8(probs, pos[0], jnp.asarray(padded),
-                          jnp.asarray(center), jnp.asarray(np.float32(scale)))
+        dev = upsample_u8(probs, pos[0], _put(padded, d),
+                          _put(center, d), _put(np.float32(scale), d))
         pending.append((name, points, jaw, dev))
         yield from _drain(inflight)
     yield from _drain(0)
@@ -220,9 +238,13 @@ def main(argv=None):
         os.makedirs(args.output, exist_ok=True)
         num_points = int(cfg.get("num_points", 16000))
         t0, n_done = time.time(), 0
+        import jax
+
+        devs = jax.local_devices()
         items = _iter_scan_files(args.input, jaw=args.jaw)
-        for name, points, pred, jaw in predict_stream(model, variables, items,
-                                                      num_points=num_points):
+        for name, points, pred, jaw in predict_stream(
+                model, variables, items, num_points=num_points,
+                devices=devs if len(devs) > 1 else None):
             id2fdi = _ID2FDI_LOWER if jaw == 0 else _ID2FDI_UPPER
             labels = [int(id2fdi[int(c)]) for c in pred]
             stem = os.path.splitext(name)[0]

@@ -93,3 +93,37 @@ def test_predict_cli_votes(tmp_path):
     d = json.load(open(out))
     assert d["n_points"] == 3000
     assert all(l == 0 or 31 <= l <= 48 for l in d["labels"])
+
+
+@pytest.mark.slow
+def test_predict_stream_multidevice_invariant():
+    """Round-robin serving across the 8-device CPU mesh yields exactly the
+    single-device labels (placement invariance of the scale-out path)."""
+    import jax
+
+    if len(jax.local_devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    import jax.numpy as jnp
+
+    from geot_tpu.core.config import EasyConfig
+    from geot_tpu.engine.predict import load_model_and_params, predict_stream
+
+    cfg = EasyConfig()
+    cfg.load(os.path.join(os.path.dirname(__file__), "..", "cfgs",
+                          "tooth_semi", "smoke.yaml"), recursive=True)
+    model, variables = load_model_and_params(cfg, None)
+
+    def items():
+        for i in range(5):
+            pts, _ = _synthetic_scan(40 + i, 3000)
+            yield f"s{i}", pts, i % 2
+
+    single = [(n, p.copy()) for n, _, p, _ in
+              predict_stream(model, variables, items(), num_points=256)]
+    multi = [(n, p.copy()) for n, _, p, _ in
+             predict_stream(model, variables, items(), num_points=256,
+                            devices=jax.local_devices())]
+    assert [n for n, _ in single] == [n for n, _ in multi]
+    for (_, a), (_, b) in zip(single, multi):
+        np.testing.assert_array_equal(a, b)
