@@ -64,15 +64,20 @@ def export_forward(model, variables, n_points: int = 16000, batch: int = 1,
     return out
 
 
-def load_forward(src) -> Callable:
-    """Deserialize an exported forward; returns a jittable callable."""
+def load_exported(src):
+    """Deserialize to the ``jax.export.Exported`` object (callable via
+    ``.call``; input specs in ``.in_avals`` — e.g. the baked point count)."""
     if isinstance(src, (str, os.PathLike)):
         with open(src, "rb") as f:
             blob = f.read()
     else:
         blob = src
-    exp = jexport.deserialize(bytearray(blob))
-    return jax.jit(exp.call)
+    return jexport.deserialize(bytearray(blob))
+
+
+def load_forward(src) -> Callable:
+    """Deserialize an exported forward; returns a jittable callable."""
+    return jax.jit(load_exported(src).call)
 
 
 def export_cli(argv=None):

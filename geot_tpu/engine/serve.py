@@ -36,13 +36,35 @@ from .predict import (_ID2FDI_LOWER, _ID2FDI_UPPER, load_model_and_params,
                       predict_scan)
 
 
+class _ArtifactModel:
+    """Duck-types the flax model for ``predict_scan`` over an AOT-exported
+    forward (``engine.export``): ``apply`` ignores variables (they are baked
+    into the artifact) and returns the logits as a 1-tuple."""
+
+    def __init__(self, exported):
+        self._call = exported.call
+
+    def apply(self, variables, batch):
+        return (self._call(batch["pos"], batch["cls"]),)
+
+
 class _Service:
     """Model state + a lock serialising device dispatch across HTTP threads."""
 
-    def __init__(self, cfg, ckpt=None, warmup: bool = True):
+    def __init__(self, cfg, ckpt=None, warmup: bool = True,
+                 artifact: str | None = None):
         self.cfg = cfg
-        self.num_points = int(cfg.get("num_points", 16000))
-        self.model, self.variables = load_model_and_params(cfg, ckpt)
+        if artifact is not None:
+            # AOT serving: no model code/config needed — shapes (incl. the
+            # sampled point count) come from the artifact itself
+            from .export import load_exported
+
+            exported = load_exported(artifact)
+            self.num_points = int(exported.in_avals[0].shape[1])
+            self.model, self.variables = _ArtifactModel(exported), None
+        else:
+            self.num_points = int(cfg.get("num_points", 16000))
+            self.model, self.variables = load_model_and_params(cfg, ckpt)
         self.lock = threading.Lock()
         self.scans_served = 0
         if warmup:   # compile forward + one upsample bucket before serving
@@ -115,10 +137,11 @@ def make_handler(service: _Service):
     return Handler
 
 
-def serve(cfg, ckpt=None, port: int = 8756, warmup: bool = True):
+def serve(cfg, ckpt=None, port: int = 8756, warmup: bool = True,
+          artifact: str | None = None):
     """Build the service and return a started ``ThreadingHTTPServer``
     (caller owns shutdown; port 0 picks a free port)."""
-    service = _Service(cfg, ckpt, warmup=warmup)
+    service = _Service(cfg, ckpt, warmup=warmup, artifact=artifact)
     httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
@@ -127,21 +150,29 @@ def serve(cfg, ckpt=None, port: int = 8756, warmup: bool = True):
 
 def main(argv=None):
     parser = argparse.ArgumentParser("GeoT-TPU serving endpoint")
-    parser.add_argument("--cfg", required=True)
+    parser.add_argument("--cfg", default=None,
+                        help="model config (not needed with --artifact)")
     parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--artifact", default=None,
+                        help="serve an AOT StableHLO export (engine.export) "
+                             "— no model code or config required")
     parser.add_argument("--port", type=int, default=8756)
     parser.add_argument("--fast", action="store_true",
                         help="stratified-FPS + fast_graph serving path")
     args, opts = parser.parse_known_args(argv)
 
-    cfg = EasyConfig()
-    cfg.load(args.cfg, recursive=True)
-    cfg.update(opts)
-    if args.fast:
-        cfg.model.segmentor_args.fast_pyramid = 1024
-        cfg.model.segmentor_args.fast_graph = True
+    cfg = None
+    if args.cfg:
+        cfg = EasyConfig()
+        cfg.load(args.cfg, recursive=True)
+        cfg.update(opts)
+        if args.fast:
+            cfg.model.segmentor_args.fast_pyramid = 1024
+            cfg.model.segmentor_args.fast_graph = True
+    elif not args.artifact:
+        parser.error("--cfg or --artifact is required")
 
-    httpd = serve(cfg, args.ckpt, port=args.port)
+    httpd = serve(cfg, args.ckpt, port=args.port, artifact=args.artifact)
     print(f"serving on http://127.0.0.1:{httpd.server_address[1]} "
           f"(POST /predict, GET /healthz)")
     try:

@@ -61,3 +61,42 @@ def test_serve_end_to_end():
             assert json.load(r)["status"] == "ok"
     finally:
         httpd.shutdown()
+
+
+@pytest.mark.slow
+def test_serve_from_aot_artifact(tmp_path):
+    """--artifact serves a StableHLO export with no model code/config; labels
+    match the model-backed service exactly (same sampling seed)."""
+    import urllib.error
+
+    from geot_tpu.engine.export import export_forward
+    from geot_tpu.engine.predict import load_model_and_params, predict_scan
+
+    cfg = EasyConfig()
+    cfg.load(CFG, recursive=True)
+    cfg.num_points = 256
+    model, variables = load_model_and_params(cfg, None)
+    art = str(tmp_path / "model.bin")
+    export_forward(model, variables, n_points=256, batch=1, out=art)
+
+    httpd = serve(None, artifact=art, port=0, warmup=False)
+    port = httpd.server_address[1]
+    try:
+        pts, _ = _synthetic_scan(5, 3000)
+        buf = io.BytesIO()
+        np.save(buf, pts.astype(np.float32))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict?jaw=lower",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            d = json.load(r)
+        assert d["n_points"] == 3000
+
+        # byte-identical to the in-process model path
+        pred_direct, _ = predict_scan(model, variables, pts, jaw=0,
+                                      num_points=256)
+        from geot_tpu.engine.predict import _ID2FDI_LOWER
+        want = [int(_ID2FDI_LOWER[int(c)]) for c in pred_direct]
+        assert d["labels"] == want
+    finally:
+        httpd.shutdown()
