@@ -100,3 +100,45 @@ def test_serve_from_aot_artifact(tmp_path):
         assert d["labels"] == want
     finally:
         httpd.shutdown()
+
+
+@pytest.mark.slow
+def test_serve_concurrent_requests(tmp_path):
+    """Parallel clients all succeed; the device-dispatch lock serialises
+    compute without dropping or corrupting responses."""
+    import threading
+
+    cfg = EasyConfig()
+    cfg.load(CFG, recursive=True)
+    cfg.num_points = 256
+    httpd = serve(cfg, ckpt=None, port=0, warmup=False)
+    port = httpd.server_address[1]
+    results, errors = [None] * 4, []
+
+    def worker(i):
+        try:
+            pts, _ = _synthetic_scan(20 + i, 2000 + 100 * i)
+            buf = io.BytesIO()
+            np.save(buf, pts.astype(np.float32))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict?jaw=lower",
+                data=buf.getvalue(), method="POST")
+            with urllib.request.urlopen(req, timeout=600) as r:
+                results[i] = json.load(r)
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, e))
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        for i, d in enumerate(results):
+            assert d["n_points"] == 2000 + 100 * i
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                    timeout=300) as r:
+            assert json.load(r)["scans_served"] == 4
+    finally:
+        httpd.shutdown()
