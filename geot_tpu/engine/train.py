@@ -294,6 +294,25 @@ def main(cfg: EasyConfig) -> dict:
     # fetching live metrics would serialise the async pipeline)
     print_freq = int(cfg.get("print_freq", 0) or 0)
 
+    # preemption safety (beyond the reference, whose crash recovery is manual
+    # resume only): SIGTERM/SIGINT finish the current epoch, checkpoint, and
+    # exit cleanly — preemptible TPU pods send SIGTERM ahead of reclaim
+    import signal
+
+    preempted = {"sig": None}
+
+    def _on_preempt(signum, frame):
+        preempted["sig"] = signum
+        logger.warning(f"signal {signum}: will checkpoint and stop after "
+                       f"the current epoch")
+
+    orig_handlers = {}
+    try:
+        for s in (signal.SIGTERM, signal.SIGINT):
+            orig_handlers[s] = signal.signal(s, _on_preempt)
+    except ValueError:
+        pass  # not the main thread (in-process test harnesses)
+
     for epoch in range(start_epoch, int(cfg.epochs) + 1):
         train_loader_l.set_epoch(epoch)
         lr = jnp.asarray(schedule(epoch), dtype=jnp.float32)
@@ -451,6 +470,18 @@ def main(cfg: EasyConfig) -> dict:
                     for k, v in res_v.items():
                         writer.add_scalar(f"test_{k}_voting", v, epoch)
 
+        if preempted["sig"] is not None:
+            if cfg.get("ckpt_dir"):
+                save_checkpoint(cfg, state, epoch, additional_dict=best,
+                                is_best=False)
+            logger.warning(f"preempted (signal {preempted['sig']}) at epoch "
+                           f"{epoch}: checkpoint saved — continue with "
+                           f"mode=resume")
+            results["preempted_at"] = epoch
+            break
+
+    for s, h in orig_handlers.items():
+        signal.signal(s, h)
     results["best"] = best
     if writer:
         writer.close()
