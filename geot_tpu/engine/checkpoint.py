@@ -64,12 +64,34 @@ def load_checkpoint(path: str, template_state):
     import orbax.checkpoint as ocp
     from flax.serialization import from_state_dict, to_state_dict
 
+    import logging
+
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(os.path.abspath(path))
     saved = payload["state"]
     full = to_state_dict(template_state)
     missing = [k for k in full if k not in saved]
     if missing:
+        # model weights must be complete — a truncated/corrupted params tree
+        # silently keeping random-init blocks is never acceptable
+        def _gaps(dst, src, prefix):
+            out = []
+            for k, v in dst.items():
+                if k not in src:
+                    out.append(f"{prefix}{k}")
+                elif isinstance(v, dict) and isinstance(src[k], dict):
+                    out += _gaps(v, src[k], f"{prefix}{k}/")
+            return out
+
+        for weights_key in ("params", "batch_stats"):
+            if weights_key in saved and weights_key in full:
+                gaps = _gaps(full[weights_key], saved[weights_key],
+                             f"{weights_key}/")
+                if gaps:
+                    raise ValueError(
+                        f"checkpoint {path} is missing model-weight entries "
+                        f"{gaps[:5]}{'...' if len(gaps) > 5 else ''} — refusing "
+                        f"a partial weight restore")
 
         def _merge(dst, src):
             for k, v in src.items():
@@ -79,9 +101,36 @@ def load_checkpoint(path: str, template_state):
                     dst[k] = v
 
         _merge(full, saved)
+        # params-only artifact resumed into a semi state: seed the teacher
+        # from the restored student (the resume point's student == teacher is
+        # the sane default; a random-init teacher would silently poison the
+        # teacher-phase pseudo-labels)
+        seeded = []
+        for tk, sk in (("teacher_params", "params"),
+                       ("teacher_batch_stats", "batch_stats")):
+            if tk in missing and tk in full and sk in saved:
+                full[tk] = full[sk]
+                seeded.append(tk)
+        logging.getLogger("geot_tpu").warning(
+            f"partial checkpoint {os.path.basename(str(path))}: fields "
+            f"{missing} absent — kept fresh template values"
+            + (f"; seeded {seeded} from the restored student" if seeded
+               else ""))
         saved = full
     state = from_state_dict(template_state, saved)
     return state, payload["epoch"], payload.get("extra", {})
+
+
+def discover_checkpoint(run_dir: str, prefer: str = "best") -> str:
+    """Locate a checkpoint inside ``<run_dir>/checkpoint``: prefers
+    ``*_ckpt_<prefer>``, else the first entry alphabetically (committed
+    params-only artifact dirs).  Shared by the eval/evidence scripts."""
+    ckdir = os.path.join(run_dir, "checkpoint")
+    cands = ([d for d in os.listdir(ckdir) if d.endswith(f"_ckpt_{prefer}")]
+             or sorted(os.listdir(ckdir)))
+    if not cands:
+        raise FileNotFoundError(f"no checkpoints under {ckdir}")
+    return os.path.join(ckdir, cands[0])
 
 
 def load_variables(path: str):

@@ -52,19 +52,37 @@ def get_pred_whole(logits, pos, full_points_list, centers, scales,
         padded_len = -(-P // bucket) * bucket
         padded = np.zeros((padded_len, 3), dtype=np.float32)
         padded[:P] = full
-        pred = _upsample_pred(probs[i], jnp.asarray(pos[i]),
-                              jnp.asarray(padded),
-                              jnp.asarray(np.asarray(centers[i], dtype=np.float32)),
-                              jnp.asarray(np.float32(scales[i])))
-        if dtype is not None:
-            pred = _cast_pred(pred, np.dtype(dtype).name)
+        args = (probs[i], jnp.asarray(pos[i]), jnp.asarray(padded),
+                jnp.asarray(np.asarray(centers[i], dtype=np.float32)),
+                jnp.asarray(np.float32(scales[i])))
+        pred = (_upsample_pred(*args) if dtype is None
+                else _upsample_pred_cast(*args, np.dtype(dtype).name))
         preds.append(np.asarray(pred)[:P])
     return preds
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _cast_pred(pred, dtype_name: str):
-    return pred.astype(dtype_name)
+@functools.partial(jax.jit, static_argnums=(5,))
+def _upsample_pred_cast(probs, pos, full_points, center, scale,
+                        dtype_name: str):
+    # one fused program (upsample + cast): the per-scan serving path must not
+    # pay a second device-program dispatch just for the narrow-dtype fetch
+    return _upsample_pred(probs, pos, full_points, center, scale).astype(
+        dtype_name)
+
+
+def tta_vote_logits(logits, pos_host, num_votes, transform, rng, run_on_pos):
+    """Reference TTA-voting protocol (``train.py:365-375``): average softmax
+    over ``num_votes`` extra passes on transformed positions, return averaged
+    log-probs (argmax-equivalent logits).  Shared by ``validate`` and the
+    predict/serve path so the protocol cannot diverge between evaluation and
+    inference.  ``run_on_pos(pos) -> logits`` runs the forward on transformed
+    positions of ``pos_host``'s shape."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    for _ in range(num_votes):
+        voted = transform({"pos": np.asarray(pos_host).copy()}, rng)
+        probs = probs + jax.nn.softmax(run_on_pos(jnp.asarray(voted["pos"])),
+                                       axis=-1)
+    return jnp.log(probs / (num_votes + 1) + 1e-12)
 
 
 @functools.partial(jax.jit, static_argnums=(7,))
@@ -199,15 +217,14 @@ def validate(eval_step, variables, val_loader, cfg, logger=None,
         model_batch = entry["model_batch"]
         logits = eval_step(variables, model_batch)
         if num_votes and data_transform is not None:
-            probs = jax.nn.softmax(logits, axis=-1)
-            for _ in range(num_votes):
-                voted = {"pos": entry["pos_host"].copy()}
-                voted = data_transform(voted, vote_rng)
-                vb = dict(model_batch)
-                vb["pos"] = jnp.asarray(voted["pos"])
-                vb["x"] = vb["pos"]
-                probs = probs + jax.nn.softmax(eval_step(variables, vb), axis=-1)
-            logits = jnp.log(probs / (num_votes + 1) + 1e-12)
+            def _run(vpos, mb=model_batch):
+                vb = dict(mb)
+                vb["pos"] = vpos
+                vb["x"] = vpos
+                return eval_step(variables, vb)
+
+            logits = tta_vote_logits(logits, entry["pos_host"], num_votes,
+                                     data_transform, vote_rng, _run)
         # direct accuracy on the sampled points — separates model quality
         # from the full-res upsampling path
         pending_acc.append(jnp.mean(

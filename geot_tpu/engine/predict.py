@@ -91,7 +91,6 @@ def predict_scan(model, variables, points: np.ndarray, jaw: int = 0,
     additional augmented passes — the reference's TTA voting protocol
     (``train.py:365-375``) exposed at inference (measured +0.11 whole mIoU
     at 10 votes on the committed serving ckpt, ``log/voting_eval.json``)."""
-    import jax
     import jax.numpy as jnp
 
     points_norm, center, scale = pc_norm(points.astype(np.float32))
@@ -102,15 +101,18 @@ def predict_scan(model, variables, points: np.ndarray, jaw: int = 0,
     batch = {"pos": jnp.asarray(pos), "x": jnp.asarray(pos),
              "cls": jnp.full((1, 1), jaw, jnp.int32)}
     logits, *_ = _get_fwd(model)(variables, batch)
-    if num_votes and vote_transform is not None:
-        probs = jax.nn.softmax(logits, axis=-1)
-        for _ in range(num_votes):
-            voted = vote_transform({"pos": pos[0].copy()}, rng)
-            vpos = jnp.asarray(voted["pos"])[None]
-            vb = {"pos": vpos, "x": vpos, "cls": batch["cls"]}
-            vlogits, *_ = _get_fwd(model)(variables, vb)
-            probs = probs + jax.nn.softmax(vlogits, axis=-1)
-        logits = jnp.log(probs / (num_votes + 1) + 1e-12)
+    if num_votes:
+        if vote_transform is None:
+            raise ValueError("num_votes > 0 requires a vote transform "
+                             "pipeline (cfg datatransforms.vote)")
+        from .eval import tta_vote_logits
+
+        def _run(vpos):
+            vb = {"pos": vpos[None], "x": vpos[None], "cls": batch["cls"]}
+            return _get_fwd(model)(variables, vb)[0]
+
+        logits = tta_vote_logits(logits, pos[0], num_votes, vote_transform,
+                                 rng, _run)
     # uint8 labels: 4x less D2H than int32 argmax (17 classes fit a byte)
     preds = get_pred_whole(logits, pos, [points], [center], [scale],
                            dtype=np.uint8)
@@ -234,6 +236,9 @@ def main(argv=None):
     if os.path.isdir(args.input):
         # batch-serving mode: stream every scan in the directory through a
         # pipelined dispatch window; --output is a directory of per-scan json
+        if args.votes:
+            parser.error("--votes is single-scan only (the streaming path "
+                         "dispatches one pass per scan)")
         model, variables = load_model_and_params(cfg, args.ckpt)
         os.makedirs(args.output, exist_ok=True)
         num_points = int(cfg.get("num_points", 16000))
@@ -276,6 +281,10 @@ def main(argv=None):
         from ..data.transforms import build_transforms_from_cfg
 
         vote_t = build_transforms_from_cfg("vote", cfg.get("datatransforms"))
+        if vote_t is None:
+            parser.error("--votes needs a vote transform pipeline in the "
+                         "config (datatransforms.vote) — the flagship yaml "
+                         "defines one; this config does not")
     pred, _ = predict_scan(model, variables, points, jaw=jaw,
                            num_points=int(cfg.get("num_points", 16000)),
                            num_votes=args.votes, vote_transform=vote_t)

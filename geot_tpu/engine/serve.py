@@ -60,7 +60,15 @@ class _Service:
             from .export import load_exported
 
             exported = load_exported(artifact)
-            self.num_points = int(exported.in_avals[0].shape[1])
+            avals = exported.in_avals
+            if (len(avals) != 2 or len(avals[0].shape) != 3
+                    or avals[0].shape[-1] != 3):
+                raise ValueError(
+                    f"artifact {artifact} must be an embed_params export with "
+                    f"(pos (B,N,3), cls (B,1)) inputs; got input specs "
+                    f"{[tuple(a.shape) for a in avals]} — re-export with "
+                    f"export_forward(..., embed_params=True)")
+            self.num_points = int(avals[0].shape[1])
             self.model, self.variables = _ArtifactModel(exported), None
         else:
             self.num_points = int(cfg.get("num_points", 16000))
@@ -162,6 +170,11 @@ def main(argv=None):
     args, opts = parser.parse_known_args(argv)
 
     cfg = None
+    if args.artifact and (args.ckpt or args.fast or args.cfg or opts):
+        # the artifact bakes weights, shapes, AND serving mode at export time
+        parser.error("--artifact conflicts with --cfg/--ckpt/--fast/overrides: "
+                     "those choices were baked in at export; re-export to "
+                     "change them")
     if args.cfg:
         cfg = EasyConfig()
         cfg.load(args.cfg, recursive=True)

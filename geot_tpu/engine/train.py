@@ -300,188 +300,199 @@ def main(cfg: EasyConfig) -> dict:
     import signal
 
     preempted = {"sig": None}
+    orig_handlers = {}
+
+    def _restore_handlers():
+        while orig_handlers:
+            s, h = orig_handlers.popitem()
+            signal.signal(s, h)
 
     def _on_preempt(signum, frame):
         preempted["sig"] = signum
+        # a SECOND signal gets the default behaviour (force-exit): a hung
+        # device call would otherwise make the process uninterruptible
+        _restore_handlers()
         logger.warning(f"signal {signum}: will checkpoint and stop after "
-                       f"the current epoch")
+                       f"the current epoch (repeat to force-exit)")
 
-    orig_handlers = {}
     try:
         for s in (signal.SIGTERM, signal.SIGINT):
             orig_handlers[s] = signal.signal(s, _on_preempt)
     except ValueError:
         pass  # not the main thread (in-process test harnesses)
 
-    for epoch in range(start_epoch, int(cfg.epochs) + 1):
-        train_loader_l.set_epoch(epoch)
-        lr = jnp.asarray(schedule(epoch), dtype=jnp.float32)
-        # metric accumulation stays ON DEVICE for the whole epoch: any
-        # per-step float()/device_get is a host sync that serialises the
-        # dispatch pipeline (measured: 45 ms/step device but 5.5 s/epoch
-        # wall with per-step fetches — the tunnel round-trip dominates)
-        ep_dev, ep_n = None, 0
-        t0 = time.time()
+    try:
+        for epoch in range(start_epoch, int(cfg.epochs) + 1):
+            train_loader_l.set_epoch(epoch)
+            lr = jnp.asarray(schedule(epoch), dtype=jnp.float32)
+            # metric accumulation stays ON DEVICE for the whole epoch: any
+            # per-step float()/device_get is a host sync that serialises the
+            # dispatch pipeline (measured: 45 ms/step device but 5.5 s/epoch
+            # wall with per-step fetches — the tunnel round-trip dominates)
+            ep_dev, ep_n = None, 0
+            t0 = time.time()
 
-        def _accum(metrics):
-            nonlocal ep_dev, ep_n
-            ep_dev = metrics if ep_dev is None else jax.tree_util.tree_map(
-                jnp.add, ep_dev, metrics)
-            ep_n += 1
+            def _accum(metrics):
+                nonlocal ep_dev, ep_n
+                ep_dev = metrics if ep_dev is None else jax.tree_util.tree_map(
+                    jnp.add, ep_dev, metrics)
+                ep_n += 1
 
-        if semi_mode and epoch > supervised_epochs:
-            train_loader_u.set_epoch(epoch)
-            use_teacher = epoch <= switch_ep
+            if semi_mode and epoch > supervised_epochs:
+                train_loader_u.set_epoch(epoch)
+                use_teacher = epoch <= switch_ep
 
-            def _pairs():
-                u_iter = iter(train_loader_u)
-                for batch_l in train_loader_l:
-                    try:
-                        batch_u = next(u_iter)
-                    except StopIteration:
-                        u_iter = iter(train_loader_u)
-                        batch_u = next(u_iter)
-                    yield batch_l, batch_u
+                def _pairs():
+                    u_iter = iter(train_loader_u)
+                    for batch_l in train_loader_l:
+                        try:
+                            batch_u = next(u_iter)
+                        except StopIteration:
+                            u_iter = iter(train_loader_u)
+                            batch_u = next(u_iter)
+                        yield batch_l, batch_u
 
-            for dev_l, dev_u in device_prefetch(
-                    _pairs(), lambda p: (_model_batch(p[0], put),
-                                         _semi_batch(p[1], put))):
-                state, metrics = semi_step(state, dev_l, dev_u, lr,
-                                           use_teacher)
-                _accum(metrics)
-                host_step += 1
-                timer.tick(host_step, epoch=epoch)
-                if print_freq and ep_n % print_freq == 0:
-                    logger.info(f"epoch {epoch} step {ep_n} dispatched "
-                                f"({time.time() - t0:.1f}s)")
-        else:
-            # supervised phase trains the plain TrainState view of the state
-            sup_state = TrainState(params=state.params,
-                                   batch_stats=state.batch_stats,
-                                   opt_state=state.opt_state, step=state.step) \
-                if semi_mode else state
-            for dev_l in device_prefetch(iter(train_loader_l),
-                                         lambda b: _model_batch(b, put)):
-                sup_state, metrics = sup_step(sup_state, dev_l, lr)
-                _accum(metrics)
-                host_step += 1
-                timer.tick(host_step, epoch=epoch)
-                if print_freq and ep_n % print_freq == 0:
-                    logger.info(f"epoch {epoch} step {ep_n} dispatched "
-                                f"({time.time() - t0:.1f}s)")
-            if semi_mode:
-                state = state.replace(params=sup_state.params,
-                                      batch_stats=sup_state.batch_stats,
-                                      opt_state=sup_state.opt_state,
-                                      step=sup_state.step)
+                for dev_l, dev_u in device_prefetch(
+                        _pairs(), lambda p: (_model_batch(p[0], put),
+                                             _semi_batch(p[1], put))):
+                    state, metrics = semi_step(state, dev_l, dev_u, lr,
+                                               use_teacher)
+                    _accum(metrics)
+                    host_step += 1
+                    timer.tick(host_step, epoch=epoch)
+                    if print_freq and ep_n % print_freq == 0:
+                        logger.info(f"epoch {epoch} step {ep_n} dispatched "
+                                    f"({time.time() - t0:.1f}s)")
             else:
-                state = sup_state
+                # supervised phase trains the plain TrainState view of the state
+                sup_state = TrainState(params=state.params,
+                                       batch_stats=state.batch_stats,
+                                       opt_state=state.opt_state, step=state.step) \
+                    if semi_mode else state
+                for dev_l in device_prefetch(iter(train_loader_l),
+                                             lambda b: _model_batch(b, put)):
+                    sup_state, metrics = sup_step(sup_state, dev_l, lr)
+                    _accum(metrics)
+                    host_step += 1
+                    timer.tick(host_step, epoch=epoch)
+                    if print_freq and ep_n % print_freq == 0:
+                        logger.info(f"epoch {epoch} step {ep_n} dispatched "
+                                    f"({time.time() - t0:.1f}s)")
+                if semi_mode:
+                    state = state.replace(params=sup_state.params,
+                                          batch_stats=sup_state.batch_stats,
+                                          opt_state=sup_state.opt_state,
+                                          step=sup_state.step)
+                else:
+                    state = sup_state
 
-        # re-sync the host step counter from device state once per epoch so
-        # step_times.jsonl ids can never drift from checkpointed state.step
-        # (ADVICE r2); piggybacks on the one-fetch-per-epoch budget
-        host_step = int(jax.device_get(state.step))
+            # re-sync the host step counter from device state once per epoch so
+            # step_times.jsonl ids can never drift from checkpointed state.step
+            # (ADVICE r2); piggybacks on the one-fetch-per-epoch budget
+            host_step = int(jax.device_get(state.step))
 
-        # single D2H sync per epoch for all scalar + per-class metrics
-        ep_mean = {k: np.asarray(v, dtype=np.float64) / max(ep_n, 1)
-                   for k, v in jax.device_get(ep_dev).items()} if ep_n else {}
-        meters = {k: AverageMeter() for k in ("loss", "sup_loss", "unsup_loss")}
-        for k in meters:
-            meters[k].update(float(ep_mean.get(k, float("nan"))))
+            # single D2H sync per epoch for all scalar + per-class metrics
+            ep_mean = {k: np.asarray(v, dtype=np.float64) / max(ep_n, 1)
+                       for k, v in jax.device_get(ep_dev).items()} if ep_n else {}
+            meters = {k: AverageMeter() for k in ("loss", "sup_loss", "unsup_loss")}
+            for k in meters:
+                meters[k].update(float(ep_mean.get(k, float("nan"))))
 
-        logger.info(f"epoch {epoch}/{cfg.epochs} lr={float(lr):.6f} "
-                    f"loss={meters['loss'].avg:.5f} "
-                    f"sup={meters['sup_loss'].avg:.5f} "
-                    f"unsup={meters['unsup_loss'].avg:.5f} "
-                    f"({time.time() - t0:.1f}s)")
-        if writer:
-            writer.add_scalar("lr", float(lr), epoch)
-            for tag, key in ref_tags.items():
-                if key in ep_mean:
-                    writer.add_scalar(tag, float(ep_mean[key]), epoch)
-            for tag, key in cls_tags.items():
-                if key in ep_mean:
-                    for ji, v in enumerate(np.ravel(ep_mean[key])):
-                        writer.add_scalar(f"{tag}_{ji}", float(v), epoch)
-
-        if epoch % int(cfg.get("val_freq", 250)) == 0 or epoch == int(cfg.epochs):
-            res = validate(eval_step, state.variables, val_loader, cfg, logger,
-                           mesh=mesh)
-            results["val"] = res
-            if hasattr(schedule, "note_metric"):  # plateau scheduler feedback
-                schedule.note_metric(res["whole_miou"])
-            is_best = res["whole_miou"] >= best["miou"] or np.isnan(best["miou"])
-            if is_best and not np.isnan(res["whole_miou"]):
-                best.update(miou=res["whole_miou"], dsc=res["whole_dsc"],
-                            acc=res["whole_acc"], epoch=epoch)
+            logger.info(f"epoch {epoch}/{cfg.epochs} lr={float(lr):.6f} "
+                        f"loss={meters['loss'].avg:.5f} "
+                        f"sup={meters['sup_loss'].avg:.5f} "
+                        f"unsup={meters['unsup_loss'].avg:.5f} "
+                        f"({time.time() - t0:.1f}s)")
             if writer:
-                for k, v in res.items():
-                    writer.add_scalar(f"val_{k}", v, epoch)
-                # reference tag names (``train.py:308-313``)
-                writer.add_scalar("val_miou", res["whole_miou"], epoch)
-                writer.add_scalar("val_dsc", res["whole_dsc"], epoch)
-                writer.add_scalar("val_acc", res["whole_acc"], epoch)
-                writer.add_scalar("best_val_miou", best["miou"], epoch)
-                writer.add_scalar("best_val_dsc", best["dsc"], epoch)
-                writer.add_scalar("best_val_acc", best["acc"], epoch)
-            if cfg.get("ckpt_dir"):
-                save_checkpoint(cfg, state, epoch,
-                                additional_dict=best, is_best=is_best,
-                                save_freq=cfg.get("save_freq"))
+                writer.add_scalar("lr", float(lr), epoch)
+                for tag, key in ref_tags.items():
+                    if key in ep_mean:
+                        writer.add_scalar(tag, float(ep_mean[key]), epoch)
+                for tag, key in cls_tags.items():
+                    if key in ep_mean:
+                        for ji, v in enumerate(np.ravel(ep_mean[key])):
+                            writer.add_scalar(f"{tag}_{ji}", float(v), epoch)
 
-        if epoch % int(cfg.get("test_freq", 250)) == 0 or epoch == int(cfg.epochs):
-            # reference reloads the BEST-val checkpoint before every test
-            # evaluation (``train.py:350-352``) so reported test metrics come
-            # from the best state, not the current one.  Unlike the reference
-            # (whose load persists into subsequent training) the training
-            # state is left untouched.
-            test_vars = state.variables
-            if cfg.get("ckpt_dir"):
-                from .checkpoint import _ckpt_path, load_variables
-                best_path = _ckpt_path(cfg["ckpt_dir"],
-                                       cfg.get("run_name", "run"), "best")
-                if os.path.exists(best_path):
-                    test_vars = load_variables(best_path)
-                    # orbax restores host numpy leaves; place them on device
-                    # ONCE here (sharded like the live state under a mesh) so
-                    # every eval_step call below reuses the same device
-                    # buffers instead of re-uploading params per batch.
-                    if mesh is not None:
-                        from ..parallel import shard_state
-                        test_vars = shard_state(test_vars, mesh)
-                    else:
-                        test_vars = jax.tree_util.tree_map(jnp.asarray,
-                                                           test_vars)
-                    logger.info(f"test eval on best ckpt (epoch {best['epoch']})")
-            res = validate(eval_step, test_vars, test_loader, cfg, logger,
-                           mesh=mesh)
-            results["test"] = res
-            if writer:
-                for k, v in res.items():
-                    writer.add_scalar(f"test_{k}", v, epoch)
-            if int(cfg.get("num_votes", 0) or 0) > 0:
-                from ..data.transforms import build_transforms_from_cfg
-                vote_t = build_transforms_from_cfg("vote", cfg.get("datatransforms"))
-                res_v = validate(eval_step, test_vars, test_loader, cfg,
-                                 logger, num_votes=int(cfg["num_votes"]),
-                                 data_transform=vote_t, mesh=mesh)
-                results["test_voting"] = res_v
+            if epoch % int(cfg.get("val_freq", 250)) == 0 or epoch == int(cfg.epochs):
+                res = validate(eval_step, state.variables, val_loader, cfg, logger,
+                               mesh=mesh)
+                results["val"] = res
+                if hasattr(schedule, "note_metric"):  # plateau scheduler feedback
+                    schedule.note_metric(res["whole_miou"])
+                is_best = res["whole_miou"] >= best["miou"] or np.isnan(best["miou"])
+                if is_best and not np.isnan(res["whole_miou"]):
+                    best.update(miou=res["whole_miou"], dsc=res["whole_dsc"],
+                                acc=res["whole_acc"], epoch=epoch)
                 if writer:
-                    for k, v in res_v.items():
-                        writer.add_scalar(f"test_{k}_voting", v, epoch)
+                    for k, v in res.items():
+                        writer.add_scalar(f"val_{k}", v, epoch)
+                    # reference tag names (``train.py:308-313``)
+                    writer.add_scalar("val_miou", res["whole_miou"], epoch)
+                    writer.add_scalar("val_dsc", res["whole_dsc"], epoch)
+                    writer.add_scalar("val_acc", res["whole_acc"], epoch)
+                    writer.add_scalar("best_val_miou", best["miou"], epoch)
+                    writer.add_scalar("best_val_dsc", best["dsc"], epoch)
+                    writer.add_scalar("best_val_acc", best["acc"], epoch)
+                if cfg.get("ckpt_dir"):
+                    save_checkpoint(cfg, state, epoch,
+                                    additional_dict=best, is_best=is_best,
+                                    save_freq=cfg.get("save_freq"))
 
-        if preempted["sig"] is not None:
-            if cfg.get("ckpt_dir"):
-                save_checkpoint(cfg, state, epoch, additional_dict=best,
-                                is_best=False)
-            logger.warning(f"preempted (signal {preempted['sig']}) at epoch "
-                           f"{epoch}: checkpoint saved — continue with "
-                           f"mode=resume")
-            results["preempted_at"] = epoch
-            break
+            if epoch % int(cfg.get("test_freq", 250)) == 0 or epoch == int(cfg.epochs):
+                # reference reloads the BEST-val checkpoint before every test
+                # evaluation (``train.py:350-352``) so reported test metrics come
+                # from the best state, not the current one.  Unlike the reference
+                # (whose load persists into subsequent training) the training
+                # state is left untouched.
+                test_vars = state.variables
+                if cfg.get("ckpt_dir"):
+                    from .checkpoint import _ckpt_path, load_variables
+                    best_path = _ckpt_path(cfg["ckpt_dir"],
+                                           cfg.get("run_name", "run"), "best")
+                    if os.path.exists(best_path):
+                        test_vars = load_variables(best_path)
+                        # orbax restores host numpy leaves; place them on device
+                        # ONCE here (sharded like the live state under a mesh) so
+                        # every eval_step call below reuses the same device
+                        # buffers instead of re-uploading params per batch.
+                        if mesh is not None:
+                            from ..parallel import shard_state
+                            test_vars = shard_state(test_vars, mesh)
+                        else:
+                            test_vars = jax.tree_util.tree_map(jnp.asarray,
+                                                               test_vars)
+                        logger.info(f"test eval on best ckpt (epoch {best['epoch']})")
+                res = validate(eval_step, test_vars, test_loader, cfg, logger,
+                               mesh=mesh)
+                results["test"] = res
+                if writer:
+                    for k, v in res.items():
+                        writer.add_scalar(f"test_{k}", v, epoch)
+                if int(cfg.get("num_votes", 0) or 0) > 0:
+                    from ..data.transforms import build_transforms_from_cfg
+                    vote_t = build_transforms_from_cfg("vote", cfg.get("datatransforms"))
+                    res_v = validate(eval_step, test_vars, test_loader, cfg,
+                                     logger, num_votes=int(cfg["num_votes"]),
+                                     data_transform=vote_t, mesh=mesh)
+                    results["test_voting"] = res_v
+                    if writer:
+                        for k, v in res_v.items():
+                            writer.add_scalar(f"test_{k}_voting", v, epoch)
 
-    for s, h in orig_handlers.items():
-        signal.signal(s, h)
+            if preempted["sig"] is not None:
+                if cfg.get("ckpt_dir"):
+                    save_checkpoint(cfg, state, epoch, additional_dict=best,
+                                    is_best=False)
+                logger.warning(f"preempted (signal {preempted['sig']}) at epoch "
+                               f"{epoch}: checkpoint saved — continue with "
+                               f"mode=resume")
+                results["preempted_at"] = epoch
+                break
+
+    finally:
+        # exceptions must not leak the preemption handler into the
+        # caller's process (in-process harnesses)
+        _restore_handlers()
     results["best"] = best
     if writer:
         writer.close()

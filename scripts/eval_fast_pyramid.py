@@ -30,10 +30,8 @@ def main():
     run = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_RUN
     cfg = EasyConfig()
     cfg.load(os.path.join(run, "cfg.yaml"))
-    ckdir = os.path.join(run, "checkpoint")
-    cands = ([d for d in os.listdir(ckdir) if d.endswith("_ckpt_best")]
-             or sorted(os.listdir(ckdir)))   # params-only artifact dirs
-    best = os.path.join(ckdir, cands[0])
+    from geot_tpu.engine.checkpoint import discover_checkpoint
+    best = discover_checkpoint(run)
     variables = load_variables(best)
 
     val_loader = build_dataloader_from_cfg(

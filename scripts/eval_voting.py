@@ -32,12 +32,11 @@ def main():
     votes = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     cfg = EasyConfig()
     cfg.load(os.path.join(run, "cfg.yaml"))
-    ckdir = os.path.join(run, "checkpoint")
-    cands = ([d for d in os.listdir(ckdir) if d.endswith("_ckpt_best")]
-             or sorted(os.listdir(ckdir)))
-    ckpt = os.path.join(ckdir, cands[0])
+    from geot_tpu.engine.checkpoint import discover_checkpoint
+    ckpt = discover_checkpoint(run)
     variables = load_variables(ckpt)
 
+    cfg.model.segmentor_args.pop("pretrained_path", None)
     model = build_model_from_cfg(cfg.model)
     step = make_eval_step(model)
     val_loader = build_dataloader_from_cfg(
