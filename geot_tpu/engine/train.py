@@ -214,7 +214,9 @@ def main(cfg: EasyConfig) -> dict:
     eval_step = make_eval_step(model)
 
     pretrained = cfg.get("pretrained_path")
-    if pretrained and os.path.exists(str(pretrained)):
+    # torch-pretrain import applies to FILES (.pth); orbax checkpoint DIRS
+    # are handled by the mode=resume branch below — don't mis-try them here
+    if pretrained and os.path.isfile(str(pretrained)):
         from .checkpoint import convert_torch_seg_t, load_torch_pth
         try:
             sd = load_torch_pth(pretrained)
