@@ -27,6 +27,15 @@ from .semi import apply_T, combine_T, ntm_update, pseudo_stats
 from .state import SemiTrainState, TrainState
 
 
+def _logits_of(out):
+    """Normalise a segmentation model's output to logits: the seg_T family
+    returns ``(logit, correction, sigma, feats)`` (reference
+    ``transformer.py:1055-1068``) while the generic BaseSeg/BasePartSeg/
+    VariableSeg compositions return bare logits (reference ``base_seg.py:52``)
+    — the engine trains/evaluates both."""
+    return out[0] if isinstance(out, (tuple, list)) else out
+
+
 def _sup_loss_fn(criterion, criterion_name, logits, batch):
     """Dispatch the supervised criterion exactly like the reference
     (``train.py:449-454, 576-581``)."""
@@ -56,10 +65,11 @@ def make_supervised_step(model, tx, cfg) -> Callable:
         rng = jax.random.fold_in(jax.random.PRNGKey(cfg.get("seed", 0)), state.step)
 
         def loss_fn(params):
-            (logits, *_), mutated = model.apply(
+            out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch, training=True, rngs={"dropout": rng},
                 mutable=["batch_stats"])
+            logits = _logits_of(out)
             loss = _sup_loss_fn(criterion, criterion_name, logits, batch)
             return loss, mutated["batch_stats"]
 
@@ -321,7 +331,7 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
 def make_eval_step(model) -> Callable:
     @jax.jit
     def step(variables, batch):
-        logits, *_ = model.apply(variables, batch, training=False)
+        logits = _logits_of(model.apply(variables, batch, training=False))
         return logits
 
     return step
@@ -333,7 +343,7 @@ def make_confusion_step(model, num_classes: int) -> Callable:
 
     @jax.jit
     def step(variables, batch):
-        logits, *_ = model.apply(variables, batch, training=False)
+        logits = _logits_of(model.apply(variables, batch, training=False))
         pred = jnp.argmax(logits, axis=-1).reshape(-1)
         target = batch["y"].reshape(-1)
         onehot_t = jax.nn.one_hot(target, num_classes)
@@ -350,7 +360,7 @@ def make_cm_step(model) -> Callable:
 
     @jax.jit
     def step(variables, batch):
-        logits, *_ = model.apply(variables, batch, training=False)
+        logits = _logits_of(model.apply(variables, batch, training=False))
         probs = jax.nn.softmax(logits, axis=-1)
         C = probs.shape[-1]
         flat = probs.reshape(-1, C)

@@ -201,6 +201,9 @@ class PointMLPPartSegmentor(nn.Module):
                  training: bool = False):
         from ...ops import three_interpolation
 
+        if hasattr(pts, "keys"):     # engine dict batches (like BasePartSeg)
+            pts, features, cls_label = (pts["pos"], pts.get("x"),
+                                        pts.get("cls"))
         if features is None:
             features = pts
         x = ConvBNReLU(self.embed_dim, self.bias, name="embedding")(features,

@@ -141,7 +141,12 @@ class BaseSeg(nn.Module):
         if hasattr(p0, "keys"):
             p0, f0 = p0["pos"], p0.get("x")
         l_xyz, l_feats = self.encoder.forward_seg_feat(p0, f0, training=training)
-        f = self.decoder(l_xyz, l_feats, training=training) if self.decoder else l_feats[-1]
+        if self.decoder is not None:
+            f = self.decoder(l_xyz, l_feats, training=training)
+        else:
+            # encoders returning a single (B, N, C) feature map (e.g. DGCNN)
+            # vs the per-level list of the U-Net style encoders
+            f = l_feats[-1] if isinstance(l_feats, (list, tuple)) else l_feats
         if self.head is not None:
             f = self.head(f, training=training)
         return f
