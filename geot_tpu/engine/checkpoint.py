@@ -121,6 +121,49 @@ def load_checkpoint(path: str, template_state):
     return state, payload["epoch"], payload.get("extra", {})
 
 
+def graft_variables(variables, loaded, only_subtree: Optional[str] = None):
+    """Merge ``loaded`` (a ``{"params": ..., "batch_stats"?: ...}`` dict from
+    ``load_variables``/the torch converter) into freshly-initialised
+    ``variables`` — the reference's finetune loads
+    (``load_checkpoint(model, ...)`` / ``load_checkpoint(model_module.encoder,
+    ...)``, ``examples/segmentation/train.py:198-203``).
+
+    ``only_subtree``: restrict the graft to top-level module names containing
+    the substring (e.g. ``"encoder"`` for ``mode=finetune_encoder``).  Leaves
+    with mismatched shapes are skipped with a report, matching the
+    reference's missing/unexpected-key tolerance (``ckpt_util.py:225-258``).
+    Returns ``(variables, skipped)``."""
+    import copy
+
+    skipped = []
+
+    def _merge(dst, src, prefix):
+        for k, v in src.items():
+            if k not in dst:
+                skipped.append(f"{prefix}{k} (unexpected)")
+            elif isinstance(v, dict) and isinstance(dst[k], dict):
+                _merge(dst[k], v, f"{prefix}{k}/")
+            elif getattr(dst[k], "shape", None) == getattr(v, "shape", None):
+                dst[k] = v
+            else:
+                skipped.append(f"{prefix}{k} (shape "
+                               f"{getattr(v, 'shape', '?')} vs "
+                               f"{getattr(dst[k], 'shape', '?')})")
+
+    out = copy.deepcopy(variables)
+    for col in ("params", "batch_stats"):
+        if col not in loaded or col not in out:
+            continue
+        src = loaded[col]
+        if only_subtree is not None:
+            src = {k: v for k, v in src.items() if only_subtree in k}
+            if not src:
+                skipped.append(f"{col}: no top-level module matches "
+                               f"'{only_subtree}' in the checkpoint")
+        _merge(out[col], src, f"{col}/")
+    return out, skipped
+
+
 def discover_checkpoint(run_dir: str, prefer: str = "best") -> str:
     """Locate a checkpoint inside ``<run_dir>/checkpoint``: prefers
     ``*_ckpt_<prefer>``, else the first entry alphabetically (committed

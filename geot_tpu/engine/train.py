@@ -214,17 +214,61 @@ def main(cfg: EasyConfig) -> dict:
     eval_step = make_eval_step(model)
 
     pretrained = cfg.get("pretrained_path")
+    mode = str(cfg.get("mode") or "train")
+    eval_only = mode in ("val", "test", "eval", "testing", "evaluation")
     # torch-pretrain import applies to FILES (.pth); orbax checkpoint DIRS
-    # are handled by the mode=resume branch below — don't mis-try them here
+    # go through load_variables (eval/finetune modes) or the mode=resume
+    # branch below (full state restore) — don't mis-try them here
+    loaded_vars = None
     if pretrained and os.path.isfile(str(pretrained)):
         from .checkpoint import convert_torch_seg_t, load_torch_pth
         try:
             sd = load_torch_pth(pretrained)
             p, s = convert_torch_seg_t(sd, depth=cfg.model.segmentor_args.depth)
-            variables = {"params": p, "batch_stats": s}
+            loaded_vars = {"params": p, "batch_stats": s}
             logger.info(f"loaded torch pretrain from {pretrained}")
         except Exception as e:  # noqa: BLE001
             logger.warning(f"pretrain load failed ({e}); training from scratch")
+    elif (pretrained and os.path.isdir(str(pretrained))
+          and (eval_only or mode in ("finetune", "finetune_encoder"))):
+        from .checkpoint import load_variables
+        loaded_vars = load_variables(pretrained)
+        logger.info(f"loaded checkpoint variables from {pretrained}")
+    if loaded_vars is not None:
+        # reference load semantics: eval / plain finetune load the whole
+        # model, finetune_encoder loads the encoder submodule only
+        # (``examples/segmentation/train.py:191-203``); shape mismatches are
+        # skipped-and-reported like ``ckpt_util.py:225-258``
+        from .checkpoint import graft_variables
+        subtree = "encoder" if mode == "finetune_encoder" else None
+        variables, skipped = graft_variables(variables, loaded_vars,
+                                             only_subtree=subtree)
+        if skipped:
+            logger.warning(f"checkpoint graft skipped {len(skipped)} entries: "
+                           f"{skipped[:5]}{'...' if len(skipped) > 5 else ''}")
+
+    if eval_only:
+        # reference eval-only modes (``train.py:191-197``): load weights,
+        # validate the val split (with optional TTA voting), and return —
+        # no training state is built
+        test_vars = variables
+        if mesh is not None:
+            from ..parallel import shard_state
+            test_vars = shard_state(test_vars, mesh)
+        else:
+            test_vars = jax.tree_util.tree_map(jnp.asarray, test_vars)
+        vote_t = None
+        if int(cfg.get("num_votes", 0) or 0) > 0:
+            from ..data.transforms import build_transforms_from_cfg
+            vote_t = build_transforms_from_cfg("vote", cfg.get("datatransforms"))
+        res = validate(eval_step, test_vars, val_loader, cfg, logger,
+                       num_votes=int(cfg.get("num_votes", 0) or 0),
+                       data_transform=vote_t, mesh=mesh)
+        if writer:
+            for k, v in res.items():
+                writer.add_scalar(f"{mode}_{k}", v, 0)
+            writer.close()
+        return {"val": res}
 
     if semi_mode:
         model_t = build_model_from_cfg(cfg.get("model_t", cfg.model))
