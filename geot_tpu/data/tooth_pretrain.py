@@ -98,7 +98,11 @@ class _PretrainBase(_TeethBase):
     def __init__(self, data_dir="", data_root="", n_views: int = 2,
                  num_points=16000, split="train", gravity_dim: int = 2,
                  transform=None, random_view: bool = False,
-                 manifest_suffix: str = "_pca_0.5.json", **kwargs):
+                 manifest_suffix: str = "_pca_0.5.json",
+                 img_size: int = _SYN_IMG, **kwargs):
+        # synthetic-render size; must match the generation model's output
+        # resolution ((img_size // img_ds_ratio) * decoder upsampling)
+        self.syn_img = int(img_size)
         root = data_dir or data_root
         self.manifest = None
         manifest_path = os.path.join(root or "", split + manifest_suffix)
@@ -174,8 +178,8 @@ class _PretrainBase(_TeethBase):
                                           f"{name}_{v}.png"))
                 for v in view_ids])
         # synthetic renders: deterministic noise images
-        return rng.random((len(view_ids), _SYN_IMG, _SYN_IMG, 3)) \
-            .astype(np.float32)
+        s = self.syn_img
+        return rng.random((len(view_ids), s, s, 3)).astype(np.float32)
 
     def _point_payload(self, idx, rng):
         sample = self.file_list[idx]

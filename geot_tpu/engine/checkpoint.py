@@ -164,6 +164,33 @@ def graft_variables(variables, loaded, only_subtree: Optional[str] = None):
     return out, skipped
 
 
+def load_pretrain_encoder(variables, pretrain_path: str,
+                          segmentor_key: str = "segmentor"):
+    """Graft a generative-pretraining checkpoint's point-encoder trunk into a
+    segmentation model's segmentor namespace — the reference's
+    ``WholePartSeg.load_pretrain`` (``base_seg.py:97-123``: strip the
+    pretraining model's top-level module prefix, prefix ``segmentor.``, load
+    non-strict).  Here the ViewGenBase encoder submodule and the seg trunk
+    share flax module names (encoder / reduce_dim / pos_embed / blocks), so
+    the transfer is a name-matched subtree graft; unmatched entries (seg
+    head, decoder pyramid, T-machinery) keep their fresh init and are
+    reported.  Returns ``(variables, skipped)``."""
+    loaded = load_variables(pretrain_path)
+    inner_fresh = {}
+    inner_loaded = {}
+    for col in ("params", "batch_stats"):
+        if col in variables and segmentor_key in variables[col] \
+                and col in loaded and "encoder" in loaded[col]:
+            inner_fresh[col] = variables[col][segmentor_key]
+            inner_loaded[col] = loaded[col]["encoder"]
+    merged, skipped = graft_variables(inner_fresh, inner_loaded)
+    out = dict(variables)
+    for col in merged:
+        out[col] = dict(out[col])
+        out[col][segmentor_key] = merged[col]
+    return out, skipped
+
+
 def discover_checkpoint(run_dir: str, prefer: str = "best") -> str:
     """Locate a checkpoint inside ``<run_dir>/checkpoint``: prefers
     ``*_ckpt_<prefer>``, else the first entry alphabetically (committed

@@ -207,6 +207,16 @@ def main(cfg: EasyConfig) -> dict:
     nparams = cal_model_parm_nums(variables["params"])
     logger.info(f"model params: {nparams / 1e6:.3f} M")
 
+    # native TAP-pretrain import (the reference's WholePartSeg.load_pretrain
+    # remap, ``base_seg.py:97-123``): graft a geot_tpu.engine.pretrain
+    # checkpoint's encoder trunk into the segmentor before training
+    pep = cfg.get("pretrain_encoder_path")
+    if pep and os.path.isdir(str(pep)):
+        from .checkpoint import load_pretrain_encoder
+        variables, pep_skipped = load_pretrain_encoder(variables, pep)
+        logger.info(f"grafted pretrain encoder from {pep} "
+                    f"({len(pep_skipped)} entries kept fresh init)")
+
     tx = build_optimizer_from_cfg(None, lr=cfg.lr,
                                   every_k=int(cfg.get("step_per_update", 1) or 1),
                                   **cfg.optimizer)
@@ -568,6 +578,10 @@ def parse_and_run(argv=None):
 
     with open(os.path.join(cfg.run_dir, "cfg.yaml"), "w") as f:
         yaml.dump(cfg.dict(), f, indent=2)
+    if cfg.get("model") and "generator_args" in cfg.model:
+        # generation-stack configs (TAP pretraining) run the pretrain driver
+        from .pretrain import main as pretrain_main
+        return pretrain_main(cfg)
     return main(cfg)
 
 
