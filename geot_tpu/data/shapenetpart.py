@@ -356,9 +356,10 @@ class ShapeNet(_EpochSeeded):
         m = np.sqrt((pts ** 2).sum(1)).max()
         return (pts / max(m, 1e-12)).astype(np.float32)
 
-    def _imgs(self, idx, view_ids, rng):
+    def _imgs(self, idx, view_ids, views, pts, rng):
         if self.synthetic:
-            return rng.random((len(view_ids), 32, 32, 3)).astype(np.float32)
+            from .tooth_pretrain import _splat_render
+            return np.stack([_splat_render(pts, v, 32) for v in views])
         from PIL import Image
 
         sub = "pointclouds_p2048" if self.num_points == 2048 else "pointclouds"
@@ -388,7 +389,8 @@ class ShapeNet(_EpochSeeded):
             view_ids = rng.choice(self.total_views, self.n_views,
                                   replace=False)
             data["views"] = self.rotation_matrixs[view_ids].astype(np.float32)
-        data["imgs"] = self._imgs(idx, view_ids, rng)
+        data["imgs"] = self._imgs(idx, view_ids, data["views"],
+                                  data["pos"], rng)
         return data
 
 

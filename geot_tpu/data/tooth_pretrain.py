@@ -40,6 +40,34 @@ from .tooth_semi import _TeethBase, pc_norm
 _SYN_IMG = 32  # synthetic render size (keeps CI light)
 
 
+def _splat_render(pts: np.ndarray, view: np.ndarray, s: int) -> np.ndarray:
+    """Geometry-consistent synthetic render: orthographic depth splat of the
+    view-rotated cloud (white background, as in the reference's real renders
+    — the loss's foreground mask is ``img < 1``, ``view_gen_base.py:31``).
+
+    Mirrors the generator's camera model (``ViewTransformer._scale_bias``):
+    camera frame = ``pts @ view.T``, image rows follow camera x, columns
+    camera y, so the view-conditioned reconstruction task is actually
+    learnable from the point cloud when the proprietary Teeth3DS renders are
+    absent (noise targets would only teach the per-view mean)."""
+    rot = pts @ view.T.astype(pts.dtype)
+    xy = rot[:, :2]
+    mn = xy.min(0)
+    extent = float(max((xy.max(0) - mn).max(), 1e-6))
+    margin = max(s // 8, 1)
+    pix = np.floor((xy - mn) * ((s - 1 - 2 * margin) / extent)).astype(np.int64)
+    flat = np.clip(pix[:, 0] + margin, 0, s - 1) * s \
+        + np.clip(pix[:, 1] + margin, 0, s - 1)
+    z = rot[:, 2]
+    znorm = ((z - z.min()) / max(float(z.max() - z.min()), 1e-6)).astype(np.float32)
+    zbuf = np.zeros(s * s, np.float32)
+    np.maximum.at(zbuf, flat, znorm + 1e-3)      # z-buffer; >0 marks occupancy
+    img = np.ones((s * s, 3), np.float32)        # white background
+    occ = zbuf > 0
+    img[occ] = (0.15 + 0.7 * (zbuf[occ, None] - 1e-3))  # depth-shaded gray
+    return img.reshape(s, s, 3)
+
+
 def _jaw_view_angles(phi_frac: float, total_views: int = 12) -> np.ndarray:
     """theta x phi grid of the reference ``get_rotation_matrix_tooth``
     (``tooth_dataset.py:105``): theta = linspace(0, 2, V+1)[:V], fixed phi."""
@@ -170,16 +198,15 @@ class _PretrainBase(_TeethBase):
         view_ids = rng.choice(self.total_views, self.n_views, replace=False)
         return view_ids, table[view_ids]
 
-    def _images(self, idx, sample, view_ids, rng):
+    def _images(self, idx, sample, view_ids, views, pts, rng):
         if self.manifest is not None and self.rgb_dir:
             name = os.path.basename(str(sample["file_path"]))[:-4]
             return np.stack([
                 _load_render(os.path.join(self.rgb_dir[idx],
                                           f"{name}_{v}.png"))
                 for v in view_ids])
-        # synthetic renders: deterministic noise images
-        s = self.syn_img
-        return rng.random((len(view_ids), s, s, 3)).astype(np.float32)
+        # synthetic renders: deterministic depth splats of the rotated cloud
+        return np.stack([_splat_render(pts, v, self.syn_img) for v in views])
 
     def _point_payload(self, idx, rng):
         sample = self.file_list[idx]
@@ -213,7 +240,8 @@ class Tooth6000(_PretrainBase):
         data["x"] = np.concatenate([data["pos"], height], axis=-1)
         view_ids, views = self._views_for(sample, rng)
         data["views"] = views.astype(np.float32)
-        data["imgs"] = self._images(idx, sample, view_ids, rng)
+        data["imgs"] = self._images(idx, sample, view_ids, views,
+                                    data["pos"], rng)
         data["cls"] = np.asarray([sample["location"]], dtype=np.int64)
         return data
 
@@ -242,7 +270,7 @@ class Tooth6000PCA(_PretrainBase):
         data["x"] = data["pos"]
         view_ids, views = self._views_for(sample, rng)
         data["views"] = views.astype(np.float32)
-        imgs = self._images(idx, sample, view_ids, rng)
+        imgs = self._images(idx, sample, view_ids, views, data["pos"], rng)
         data["imgs"] = imgs
         gray = imgs @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
         data["weight"] = np.stack([_sobel_weight(g_) for g_ in gray])

@@ -239,6 +239,28 @@ class TestPretrainDatasets:
         assert d["imgs"].ndim == 4 and d["imgs"].shape[0] == 2
         assert d["imgs"].shape[-1] == 3          # channels-last renders
 
+    def test_splat_render_geometry_consistent(self):
+        """Synthetic renders are view-consistent depth splats (white bg,
+        rotation-equivariant), not noise — the pretraining task is learnable."""
+        from geot_tpu.data.tooth_pretrain import _splat_render
+
+        g = np.random.default_rng(0)
+        pts = g.standard_normal((2048, 3)).astype(np.float32)
+        R = np.linalg.qr(g.standard_normal((3, 3)))[0].astype(np.float32)
+        if np.linalg.det(R) < 0:
+            R[:, 0] *= -1
+        img = _splat_render(pts, R, 32)
+        assert img.shape == (32, 32, 3)
+        fg = (img < 1).any(-1)
+        assert 0.0 < fg.mean() < 1.0             # white bg + real silhouette
+        # render(pts, R) == render(pts @ R.T, I): camera frame is pts @ R.T
+        np.testing.assert_allclose(
+            img, _splat_render(pts @ R.T, np.eye(3, dtype=np.float32), 32),
+            atol=1e-6)
+        # a different cloud produces a different image
+        pts2 = g.standard_normal((2048, 3)).astype(np.float32)
+        assert not np.allclose(img, _splat_render(pts2, R, 32))
+
     def test_tooth_6000_jaw_tables_differ(self):
         from geot_tpu.data.tooth_pretrain import Tooth6000
 
