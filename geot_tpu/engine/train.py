@@ -323,8 +323,11 @@ def main(cfg: EasyConfig) -> dict:
 
     if mesh is not None:
         # place params + optimizer moments by the tp rules, replicate the
-        # rest; gradients/batch-stat reductions become global under jit
-        state = shard_state(state, mesh)
+        # rest; gradients/batch-stat reductions become global under jit.
+        # fsdp: true additionally dp-shards every big param + its moments
+        # (ZeRO-3 semantics: XLA all-gathers at use, reduce-scatters grads) —
+        # a capability beyond the reference's DDP-only stack.
+        state = shard_state(state, mesh, fsdp=bool(cfg.get("fsdp", False)))
 
     from .profiler import StepTimer
     timer = StepTimer(os.path.join(cfg.run_dir, "step_times.jsonl")

@@ -43,33 +43,61 @@ _TP_RULES = [
 ]
 
 
-def param_sharding_rules(path: str, leaf) -> P:
+def param_sharding_rules(path: str, leaf, fsdp_dp: int = 0,
+                         fsdp_min_size: int = 1 << 16) -> P:
+    """tp placement for a parameter (or its optimizer moments — the regexes
+    match anywhere in the state path, so optax mu/nu mirror their params).
+
+    ``fsdp_dp > 1`` additionally shards the largest free axis of big arrays
+    over the dp axis (ZeRO-3-style fully-sharded parameters: XLA all-gathers
+    at use and reduce-scatters the gradient — no hand-written collectives,
+    same GSPMD mechanism as the tp rules).  Arrays smaller than
+    ``fsdp_min_size`` elements stay replicated: gathering a LayerNorm scale
+    costs more latency than its shard saves in HBM.
+    """
+    dims = [None] * getattr(leaf, "ndim", 0)
     if getattr(leaf, "ndim", 0) >= 2:
         for pattern, spec in _TP_RULES:
             if pattern.match(path):
-                return spec
-    return P()
+                dims = list(spec) + [None] * (leaf.ndim - len(spec))
+                break
+    if (fsdp_dp > 1 and getattr(leaf, "ndim", 0) >= 1
+            and leaf.size >= fsdp_min_size):
+        free = [ax for ax in range(leaf.ndim)
+                if dims[ax] is None and leaf.shape[ax] % fsdp_dp == 0]
+        if free:
+            ax = max(free, key=lambda a: leaf.shape[a])
+            dims[ax] = "dp"
+    return P(*dims)
 
 
 def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def shard_params(params, mesh: Mesh):
+def shard_params(params, mesh: Mesh, fsdp: bool = False,
+                 fsdp_min_size: int = 1 << 16):
+    fdp = mesh.shape["dp"] if fsdp else 0
+
     def place(path, leaf):
-        spec = param_sharding_rules(_path_str(path), leaf)
+        spec = param_sharding_rules(_path_str(path), leaf, fsdp_dp=fdp,
+                                    fsdp_min_size=fsdp_min_size)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def shard_state(state: Any, mesh: Mesh):
+def shard_state(state: Any, mesh: Mesh, fsdp: bool = False,
+                fsdp_min_size: int = 1 << 16):
     """Place a TrainState/SemiTrainState: params (and matching optimizer
-    moments) by the tp rules, everything else replicated."""
+    moments) by the tp rules — plus dp-sharded under ``fsdp`` — everything
+    else replicated."""
+    fdp = mesh.shape["dp"] if fsdp else 0
 
     def place(path, leaf):
         p = _path_str(path)
-        spec = param_sharding_rules(p, leaf)
+        spec = param_sharding_rules(p, leaf, fsdp_dp=fdp,
+                                    fsdp_min_size=fsdp_min_size)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, state)

@@ -204,3 +204,36 @@ def test_dp_eval_matches_single_device():
                      mesh=mesh)
     for k, v in res_1.items():
         assert res_8[k] == pytest.approx(v, abs=1e-6), k
+
+
+@pytest.mark.slow
+def test_fsdp8_semi_step_matches_single_device():
+    """ZeRO-3-style fully-sharded params/optimizer state (fsdp) is a pure
+    layout change: same numerics as single-device, while every big param
+    (and its optax moments) is physically dp-sharded across the mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (run via scripts/test.sh)")
+    loss_1, sup_1, pnorm_1 = _run(shard=False)
+
+    state, batch_l, batch_u, step = _setup()
+    mesh = make_mesh(jax.devices()[:8], dp=8, tp=1)
+    # min size 1k elements so the 48x48 test kernels shard (flagship default
+    # is 64k: only the big matmul kernels are worth gathering)
+    state = shard_state(state, mesh, fsdp=True, fsdp_min_size=1024)
+
+    # placement check: at least the qkv/fc kernels and their moments must be
+    # physically sharded (a device holds 1/8 of the rows), not replicated
+    sharded = [l for l in jax.tree_util.tree_leaves(state.params)
+               if l.ndim >= 1 and l.size >= 1024
+               and l.addressable_shards[0].data.size < l.size]
+    assert sharded, "fsdp placed no parameter sharded"
+
+    batch_l = shard_batch(batch_l, mesh)
+    batch_u = shard_batch(batch_u, mesh)
+    new_state, metrics = step(state, batch_l, batch_u, jnp.asarray(1e-3), True)
+    pnorm = jax.jit(lambda p: jnp.sqrt(sum(
+        jnp.sum(jnp.square(x.astype(jnp.float32)))
+        for x in jax.tree_util.tree_leaves(p))))(new_state.params)
+    assert float(metrics["loss"]) == pytest.approx(loss_1, abs=1e-5)
+    assert float(metrics["sup_loss"]) == pytest.approx(sup_1, abs=1e-5)
+    assert float(pnorm) == pytest.approx(pnorm_1, rel=1e-5)
