@@ -315,9 +315,12 @@ class ShapeNet(_EpochSeeded):
 
     def __init__(self, data_dir="", data_root="", n_views: int = 2,
                  num_points=1024, split="train", gravity_dim: int = 2,
-                 transform=None, random_view: bool = False, **kwargs):
+                 transform=None, random_view: bool = False,
+                 img_size: int = 32, **kwargs):
         root = data_dir or data_root
         self.num_points = num_points
+        self.img_size = int(img_size)  # synthetic renders must match the
+        # ViewGen decoder output (see cfgs/tooth_pretrain/default.yaml)
         self.n_views = int(n_views)
         self.gravity_dim = int(gravity_dim)
         self.transform = transform
@@ -359,7 +362,8 @@ class ShapeNet(_EpochSeeded):
     def _imgs(self, idx, view_ids, views, pts, rng):
         if self.synthetic:
             from .tooth_pretrain import _splat_render
-            return np.stack([_splat_render(pts, v, 32) for v in views])
+            return np.stack([_splat_render(pts, v, self.img_size)
+                             for v in views])
         from PIL import Image
 
         sub = "pointclouds_p2048" if self.num_points == 2048 else "pointclouds"

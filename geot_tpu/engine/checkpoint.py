@@ -121,32 +121,48 @@ def load_checkpoint(path: str, template_state):
     return state, payload["epoch"], payload.get("extra", {})
 
 
-def graft_variables(variables, loaded, only_subtree: Optional[str] = None):
+def graft_variables(variables, loaded, only_subtree: Optional[str] = None,
+                    grafted_paths: Optional[list] = None):
     """Merge ``loaded`` (a ``{"params": ..., "batch_stats"?: ...}`` dict from
     ``load_variables``/the torch converter) into freshly-initialised
     ``variables`` — the reference's finetune loads
     (``load_checkpoint(model, ...)`` / ``load_checkpoint(model_module.encoder,
     ...)``, ``examples/segmentation/train.py:198-203``).
 
-    ``only_subtree``: restrict the graft to top-level module names containing
-    the substring (e.g. ``"encoder"`` for ``mode=finetune_encoder``).  Leaves
-    with mismatched shapes are skipped with a report, matching the
+    ``only_subtree``: restrict the graft to leaves whose module path contains
+    the substring at ANY depth (e.g. ``"encoder"`` for
+    ``mode=finetune_encoder`` — the flagship checkpoint nests it at
+    ``segmentor/encoder``); non-matching leaves keep fresh init silently.
+    Leaves with mismatched shapes are skipped with a report, matching the
     reference's missing/unexpected-key tolerance (``ckpt_util.py:225-258``).
+    ``grafted_paths``: optional out-list collecting every grafted leaf path.
     Returns ``(variables, skipped)``."""
     import copy
 
     skipped = []
+    grafted = [] if grafted_paths is None else grafted_paths
 
     def _merge(dst, src, prefix):
         for k, v in src.items():
+            path = f"{prefix}{k}"
+            if isinstance(v, dict):
+                if k not in dst:
+                    if only_subtree is None or only_subtree in path:
+                        skipped.append(f"{path} (unexpected)")
+                elif isinstance(dst[k], dict):
+                    _merge(dst[k], v, f"{path}/")
+                else:
+                    skipped.append(f"{path} (subtree vs leaf)")
+                continue
+            if only_subtree is not None and only_subtree not in path:
+                continue  # filtered out by mode=finetune_encoder: not an error
             if k not in dst:
-                skipped.append(f"{prefix}{k} (unexpected)")
-            elif isinstance(v, dict) and isinstance(dst[k], dict):
-                _merge(dst[k], v, f"{prefix}{k}/")
+                skipped.append(f"{path} (unexpected)")
             elif getattr(dst[k], "shape", None) == getattr(v, "shape", None):
                 dst[k] = v
+                grafted.append(path)
             else:
-                skipped.append(f"{prefix}{k} (shape "
+                skipped.append(f"{path} (shape "
                                f"{getattr(v, 'shape', '?')} vs "
                                f"{getattr(dst[k], 'shape', '?')})")
 
@@ -154,13 +170,10 @@ def graft_variables(variables, loaded, only_subtree: Optional[str] = None):
     for col in ("params", "batch_stats"):
         if col not in loaded or col not in out:
             continue
-        src = loaded[col]
-        if only_subtree is not None:
-            src = {k: v for k, v in src.items() if only_subtree in k}
-            if not src:
-                skipped.append(f"{col}: no top-level module matches "
-                               f"'{only_subtree}' in the checkpoint")
-        _merge(out[col], src, f"{col}/")
+        _merge(out[col], loaded[col], f"{col}/")
+    if only_subtree is not None and not grafted:
+        skipped.append(f"no module path matches '{only_subtree}' "
+                       f"in the checkpoint")
     return out, skipped
 
 
@@ -176,18 +189,41 @@ def load_pretrain_encoder(variables, pretrain_path: str,
     head, decoder pyramid, T-machinery) keep their fresh init and are
     reported.  Returns ``(variables, skipped)``."""
     loaded = load_variables(pretrain_path)
+    # the flagship WholePartSeg nests the trunk under 'segmentor' (whose
+    # children share the pretrain encoder's module names); zoo BaseSeg
+    # models expose a top-level 'encoder' module instead — graft into
+    # whichever exists rather than silently no-opping (round-3 review)
+    target_key = (segmentor_key if segmentor_key in variables.get("params", {})
+                  else "encoder" if "encoder" in variables.get("params", {})
+                  else None)
+    if target_key is None:
+        raise ValueError(
+            f"model has neither a '{segmentor_key}' nor an 'encoder' "
+            f"top-level module to graft {pretrain_path} into "
+            f"(params modules: {sorted(variables.get('params', {}))})")
     inner_fresh = {}
     inner_loaded = {}
     for col in ("params", "batch_stats"):
-        if col in variables and segmentor_key in variables[col] \
+        if col in variables and target_key in variables[col] \
                 and col in loaded and "encoder" in loaded[col]:
-            inner_fresh[col] = variables[col][segmentor_key]
+            inner_fresh[col] = variables[col][target_key]
             inner_loaded[col] = loaded[col]["encoder"]
-    merged, skipped = graft_variables(inner_fresh, inner_loaded)
+    if "params" not in inner_loaded:
+        raise ValueError(f"{pretrain_path}: checkpoint has no 'encoder' "
+                         f"module to transfer (a geot_tpu.engine.pretrain "
+                         f"checkpoint is expected)")
+    grafted_paths: list = []
+    merged, skipped = graft_variables(inner_fresh, inner_loaded,
+                                      grafted_paths=grafted_paths)
+    if not grafted_paths:
+        raise ValueError(
+            f"{pretrain_path}: no pretrain-encoder entry matched the model "
+            f"(first skips: {skipped[:3]}) — wrong encoder family for this "
+            f"segmentor?")
     out = dict(variables)
     for col in merged:
         out[col] = dict(out[col])
-        out[col][segmentor_key] = merged[col]
+        out[col][target_key] = merged[col]
     return out, skipped
 
 

@@ -116,18 +116,9 @@ def main(cfg: EasyConfig) -> dict:
     logger = logging.getLogger()
     writer = SummaryWriter(cfg.get("run_dir")) if cfg.get("run_dir") else None
 
-    # dp mesh (same policy as the segmentation driver)
-    devices = jax.devices()
-    mesh = None
-    if len(devices) > 1 and cfg.get("distributed", "auto") is not False:
-        from ..parallel import make_mesh
-        bs = int(cfg.get("batch_size", 2))
-        dp = len(devices)
-        while dp > 1 and bs % dp:
-            dp -= 1
-        if dp > 1:
-            mesh = make_mesh(devices[:dp], dp=dp, tp=1)
-            logger.info(f"mesh: dp={dp} over {devices[0].platform}")
+    # device mesh: shared policy with the segmentation driver
+    from ..parallel import auto_mesh
+    mesh = auto_mesh(cfg, logger)
     put = make_device_put(mesh)
 
     train_loader = build_dataloader_from_cfg(
@@ -156,18 +147,22 @@ def main(cfg: EasyConfig) -> dict:
     eval_step = make_pretrain_eval_step(model)
 
     start_epoch = int(cfg.get("start_epoch", 1))
+    best = {"loss": float("inf"), "epoch": 0}
     if cfg.get("mode") == "resume" and cfg.get("pretrained_path") \
             and os.path.isdir(str(cfg["pretrained_path"])):
         from .checkpoint import load_checkpoint
-        state, ckpt_epoch, _ = load_checkpoint(cfg["pretrained_path"], state)
+        state, ckpt_epoch, extra = load_checkpoint(cfg["pretrained_path"], state)
         start_epoch = int(ckpt_epoch) + 1
-        logger.info(f"resumed from {cfg['pretrained_path']} at epoch {ckpt_epoch}")
+        # restore the saved best metric too, else the first post-resume val
+        # overwrites *_ckpt_best with a possibly-worse model (train.py:321
+        # semantics; round-3 review finding)
+        best.update(extra or {})
+        logger.info(f"resumed from {cfg['pretrained_path']} at epoch "
+                    f"{ckpt_epoch} (best={best})")
 
     if mesh is not None:
         from ..parallel import shard_state
         state = shard_state(state, mesh)
-
-    best = {"loss": float("inf"), "epoch": 0}
     results = {}
     for epoch in range(start_epoch, int(cfg.epochs) + 1):
         train_loader.set_epoch(epoch)

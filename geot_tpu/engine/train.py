@@ -149,29 +149,8 @@ def main(cfg: EasyConfig) -> dict:
     # DDP + SyncBN (reference ``train.py:159-166``) becomes: one dp(xtp) mesh,
     # state + batches GSPMD-sharded; gradient all-reduce and global batch-norm
     # statistics fall out of the sharded jit with no communication code.
-    devices = jax.devices()
-    mesh = None
-    distributed = cfg.get("distributed", "auto")
-    if len(devices) > 1 and distributed is not False:
-        from ..parallel import make_mesh, shard_state
-        tp = int(cfg.get("tp", 1) or 1)
-        dp = len(devices) // tp
-        bs = int(cfg.get("batch_size_l", cfg.get("batch_size", 0)) or 0)
-        if distributed == "auto" and bs:
-            # shrink dp to the largest divisor of the train batch so every
-            # device holds whole samples (replicated compute helps nobody)
-            while dp > 1 and bs % dp:
-                dp -= 1
-        if dp * tp > 1:
-            mesh = make_mesh(devices[:dp * tp], dp=dp, tp=tp)
-            logger.info(f"mesh: dp={dp} tp={tp} over {dp * tp}/{len(devices)} "
-                        f"{devices[0].platform} devices, "
-                        f"{jax.process_count()} host(s)")
-            for key in ("batch_size_l", "batch_size_u", "batch_size"):
-                b = cfg.get(key)
-                if b and int(b) % dp != 0:
-                    logger.warning(f"{key}={b} not divisible by dp={dp}; those "
-                                   "batches will be replicated, not dp-sharded")
+    from ..parallel import auto_mesh, shard_state
+    mesh = auto_mesh(cfg, logger)
     put = make_device_put(mesh)
 
     # ---- data ----------------------------------------------------------
@@ -256,11 +235,28 @@ def main(cfg: EasyConfig) -> dict:
         if skipped:
             logger.warning(f"checkpoint graft skipped {len(skipped)} entries: "
                            f"{skipped[:5]}{'...' if len(skipped) > 5 else ''}")
+    elif pretrained and mode not in ("resume",):
+        # nothing was loaded: the path is missing/invalid, or mode=train does
+        # not consume pretrained_path (reference loads only under
+        # finetune/val/test/resume, ``train.py:181-203``).  Eval-only on
+        # random init reports garbage — refuse; otherwise warn loudly.
+        msg = (f"pretrained_path={pretrained} was NOT loaded "
+               f"(exists={os.path.exists(str(pretrained))}, mode={mode}; "
+               f"train mode ignores pretrained_path — use mode=finetune/"
+               f"finetune_encoder/resume or pretrain_encoder_path)")
+        if eval_only:
+            raise FileNotFoundError(msg)
+        logger.warning(msg)
+    elif eval_only and not pretrained:
+        raise ValueError(f"mode={mode} (eval-only) requires pretrained_path")
 
     if eval_only:
         # reference eval-only modes (``train.py:191-197``): load weights,
-        # validate the val split (with optional TTA voting), and return —
-        # no training state is built
+        # validate the requested split (with optional TTA voting), and
+        # return — no training state is built.  mode=test evaluates the
+        # TEST split; val/eval the val split.
+        eval_split = "test" if mode in ("test", "testing") else "val"
+        eval_loader = test_loader if eval_split == "test" else val_loader
         test_vars = variables
         if mesh is not None:
             from ..parallel import shard_state
@@ -271,14 +267,14 @@ def main(cfg: EasyConfig) -> dict:
         if int(cfg.get("num_votes", 0) or 0) > 0:
             from ..data.transforms import build_transforms_from_cfg
             vote_t = build_transforms_from_cfg("vote", cfg.get("datatransforms"))
-        res = validate(eval_step, test_vars, val_loader, cfg, logger,
+        res = validate(eval_step, test_vars, eval_loader, cfg, logger,
                        num_votes=int(cfg.get("num_votes", 0) or 0),
                        data_transform=vote_t, mesh=mesh)
         if writer:
             for k, v in res.items():
                 writer.add_scalar(f"{mode}_{k}", v, 0)
             writer.close()
-        return {"val": res}
+        return {eval_split: res}
 
     if semi_mode:
         model_t = build_model_from_cfg(cfg.get("model_t", cfg.model))

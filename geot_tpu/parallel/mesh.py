@@ -68,7 +68,47 @@ def param_sharding_rules(path: str, leaf, fsdp_dp: int = 0,
         if free:
             ax = max(free, key=lambda a: leaf.shape[a])
             dims[ax] = "dp"
+    # canonical form: PartitionSpec equality does not strip trailing Nones,
+    # so P(None, None) != P() — drop them (P() when fully replicated)
+    while dims and dims[-1] is None:
+        dims.pop()
     return P(*dims)
+
+
+def auto_mesh(cfg, logger=None) -> Mesh | None:
+    """Shared device-mesh selection policy for the training drivers
+    (segmentation ``engine/train.py`` and generative ``engine/pretrain.py``).
+
+    Reads ``cfg.distributed`` (``"auto"``/``True``/``False``), ``cfg.tp``,
+    and the train batch size (``batch_size_l`` falling back to
+    ``batch_size``).  Under ``"auto"``, dp shrinks to the largest divisor of
+    the batch so every device holds whole samples (replicated compute helps
+    nobody).  Returns the mesh, or ``None`` for single-device runs."""
+    import jax
+
+    devices = jax.devices()
+    distributed = cfg.get("distributed", "auto")
+    if len(devices) <= 1 or distributed is False:
+        return None
+    tp = int(cfg.get("tp", 1) or 1)
+    dp = len(devices) // tp
+    bs = int(cfg.get("batch_size_l", cfg.get("batch_size", 0)) or 0)
+    if distributed == "auto" and bs:
+        while dp > 1 and bs % dp:
+            dp -= 1
+    if dp * tp <= 1:
+        return None
+    mesh = make_mesh(devices[:dp * tp], dp=dp, tp=tp)
+    if logger is not None:
+        logger.info(f"mesh: dp={dp} tp={tp} over {dp * tp}/{len(devices)} "
+                    f"{devices[0].platform} devices, "
+                    f"{jax.process_count()} host(s)")
+        for key in ("batch_size_l", "batch_size_u", "batch_size"):
+            b = cfg.get(key)
+            if b and int(b) % dp != 0:
+                logger.warning(f"{key}={b} not divisible by dp={dp}; those "
+                               "batches will be replicated, not dp-sharded")
+    return mesh
 
 
 def _path_str(path) -> str:

@@ -66,7 +66,30 @@ class TestGraftVariables:
     def test_no_subtree_match_reported(self):
         fresh, saved = self._vars(0), self._vars(1)
         _, skipped = graft_variables(fresh, saved, only_subtree="nonexistent")
-        assert any("no top-level module matches" in s for s in skipped)
+        assert any("no module path matches" in s for s in skipped)
+
+    def test_subtree_matches_nested_modules(self):
+        """mode=finetune_encoder must reach 'encoder' nested under the
+        flagship's top-level 'segmentor' module (round-3 review finding:
+        the top-level-only filter silently grafted nothing)."""
+        k = jax.random.PRNGKey(0)
+
+        def vars_(seed):
+            k = jax.random.PRNGKey(seed)
+            return {"params": {"segmentor": {
+                "encoder": {"w": jax.random.normal(k, (4, 4))},
+                "head": {"w": jax.random.normal(k, (4, 2))}}}}
+
+        fresh, saved = vars_(0), vars_(1)
+        grafted_paths = []
+        out, skipped = graft_variables(fresh, saved, only_subtree="encoder",
+                                       grafted_paths=grafted_paths)
+        assert grafted_paths == ["params/segmentor/encoder/w"]
+        assert not any("no module path" in s for s in skipped)
+        np.testing.assert_array_equal(out["params"]["segmentor"]["encoder"]["w"],
+                                      saved["params"]["segmentor"]["encoder"]["w"])
+        np.testing.assert_array_equal(out["params"]["segmentor"]["head"]["w"],
+                                      fresh["params"]["segmentor"]["head"]["w"])
 
 
 @pytest.mark.slow
@@ -93,6 +116,28 @@ class TestEvalOnlyAndFinetune:
         assert set(res) == {"val"}            # no "best" => no training loop
         assert np.isfinite(res["val"]["whole_acc"])
         assert not os.listdir(cfg_v.ckpt_dir)  # nothing trained/saved
+
+        # mode=test: evaluates the TEST split (round-3 review finding: it
+        # used to silently evaluate val) and keys the result accordingly
+        cfg_t = _smoke_cfg(tmp_path, "testonly")
+        cfg_t.mode = "test"
+        cfg_t.pretrained_path = ckpt
+        res_t = main(cfg_t)
+        assert set(res_t) == {"test"}
+        assert np.isfinite(res_t["test"]["whole_acc"])
+
+        # eval-only with a missing/invalid checkpoint path must refuse, not
+        # report metrics of randomly-initialised weights
+        cfg_b = _smoke_cfg(tmp_path, "badpath")
+        cfg_b.mode = "val"
+        cfg_b.pretrained_path = str(tmp_path / "nonexistent")
+        with pytest.raises(FileNotFoundError):
+            main(cfg_b)
+        cfg_n = _smoke_cfg(tmp_path, "nopath")
+        cfg_n.mode = "val"
+        cfg_n.pretrained_path = None
+        with pytest.raises(ValueError):
+            main(cfg_n)
 
         # mode=finetune: grafts weights, then trains from epoch 1
         cfg_f = _smoke_cfg(tmp_path, "ft")

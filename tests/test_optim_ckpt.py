@@ -200,10 +200,21 @@ class TestMesh:
         from jax.sharding import PartitionSpec as P
 
         k = jnp.ones((8, 8))
+        # specs come back in canonical trailing-None-stripped form
+        # (PartitionSpec equality does not strip them itself)
         assert param_sharding_rules("blocks/block_0/attn/qkv/kernel", k) == P(None, "tp")
-        assert param_sharding_rules("blocks/block_0/attn/proj/kernel", k) == P("tp", None)
+        assert param_sharding_rules("blocks/block_0/attn/proj/kernel", k) == P("tp")
         assert param_sharding_rules("encoder/conv1a/kernel", k) == P()
         assert param_sharding_rules("norm/scale", jnp.ones((8,))) == P()
+        # fsdp: big arrays get their largest free divisible axis dp-sharded
+        big = jnp.ones((64, 1024))
+        assert param_sharding_rules("encoder/dense/kernel", big,
+                                    fsdp_dp=8) == P(None, "dp")
+        assert param_sharding_rules("blocks/block_0/attn/qkv/kernel", big,
+                                    fsdp_dp=8) == P("dp", "tp")
+        # small arrays stay replicated under fsdp
+        assert param_sharding_rules("norm/scale", jnp.ones((8,)),
+                                    fsdp_dp=8) == P()
 
 
 class TestGradAccumulation:
