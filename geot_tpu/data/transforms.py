@@ -27,6 +27,20 @@ class Compose:
         return data
 
 
+class ListCompose:
+    """Chain transforms over ``(coord, feat, label)`` triples — reference
+    ``transforms_factory.py:34`` (defined there for S3DIS-style pipelines;
+    unused by any GeoT config, kept for surface parity)."""
+
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, coord, feat, label):
+        for t in self.transforms:
+            coord, feat, label = t(coord, feat, label)
+        return coord, feat, label
+
+
 def build_transforms_from_cfg(split: str, datatransforms_cfg) -> Compose | None:
     """Reference ``transforms_factory.py:44``: pick the transform name list for
     ``split`` and construct each with the shared ``kwargs``."""

@@ -8,6 +8,8 @@ from .kmeans import kmeans
 from .attention import TransformerEncoder
 from .graph_conv import (MRConv, EdgeConv, GraphConv, DynConv, ResDynBlock,
                          DenseDynBlock)
+from .factories import (create_act, create_norm, create_convblock1d,
+                        create_convblock2d, create_linearblock)
 
 __all__ = [
     "MlpBlock", "DropPath", "PointBatchNorm", "SharedMLP", "drop_path_rates",
@@ -19,4 +21,6 @@ __all__ = [
     "ASSA", "LocalAggregation", "CHANNEL_MAP", "kmeans",
     "MRConv", "EdgeConv", "GraphConv", "DynConv", "ResDynBlock",
     "DenseDynBlock", "TransformerEncoder",
+    "create_act", "create_norm", "create_convblock1d", "create_convblock2d",
+    "create_linearblock",
 ]

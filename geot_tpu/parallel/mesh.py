@@ -149,6 +149,27 @@ def shard_state(state: Any, mesh: Mesh, fsdp: bool = False,
 # axis are already global — XLA inserts the collectives.
 
 
+def get_dist_info():
+    """``(rank, world_size)`` of this host — reference
+    ``openpoints/utils/dist_utils.py:14`` (``get_dist_info``).  The JAX
+    equivalents are process index/count: per-device parallelism lives in the
+    mesh, not in per-process ranks."""
+    import jax
+
+    return jax.process_index(), jax.process_count()
+
+
+def find_free_port() -> int:
+    """Free localhost TCP port, for a ``jax.distributed.initialize``
+    coordinator on single-node multi-process launches — reference
+    ``dist_utils.py:46`` (used for the ``mp.spawn`` rendezvous)."""
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("", 0))
+        return s.getsockname()[1]
+
+
 def shard_batch(batch, mesh: Mesh):
     """Shard every array's leading (batch) axis over dp.
 
