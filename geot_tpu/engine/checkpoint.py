@@ -378,3 +378,40 @@ def load_torch_pth(path: str):
     sd = ckpt.get("model", ckpt)
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in sd.items()}
+
+
+def convert_cli(argv=None):
+    """``geot-convert <in.pth> <out_dir> [--depth 12]`` — one-shot migration
+    of a reference ``PointTransformer_seg_T`` torch checkpoint
+    (``{run}_ckpt_best.pth`` etc.) into a params-only orbax artifact loadable
+    by ``load_variables``, the predict/serve CLIs, ``engine.export``, and
+    ``mode=resume`` params-only grafting.  Runs on the CPU backend — no
+    accelerator needed on the migration host."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Convert a reference GeoT .pth checkpoint to a "
+                    "params-only orbax artifact")
+    p.add_argument("pth", help="reference .pth checkpoint")
+    p.add_argument("out", help="output artifact directory (created)")
+    p.add_argument("--depth", type=int, default=12,
+                   help="transformer depth of the checkpoint (default 12)")
+    args = p.parse_args(argv)
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    sd = load_torch_pth(args.pth)
+    params, stats = convert_torch_seg_t(sd, depth=args.depth)
+    v = {"params": params}
+    if stats:
+        v["batch_stats"] = stats
+    out = os.path.abspath(args.out)
+    saver = ocp.StandardCheckpointer()
+    saver.save(out, {"state": v})
+    saver.wait_until_finished()
+    saver.close()
+    n = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+    print(f"converted {args.pth} -> {out} ({n / 1e6:.3f} M params"
+          f"{', batch_stats' if stats else ''})")
+    return out
