@@ -118,11 +118,12 @@ def load_checkpoint(path: str, template_state):
                else ""))
         saved = full
     state = from_state_dict(template_state, saved)
-    return state, payload["epoch"], payload.get("extra", {})
+    return state, payload.get("epoch", 0), payload.get("extra", {})
 
 
 def graft_variables(variables, loaded, only_subtree: Optional[str] = None,
-                    grafted_paths: Optional[list] = None):
+                    grafted_paths: Optional[list] = None,
+                    report_missing: bool = True):
     """Merge ``loaded`` (a ``{"params": ..., "batch_stats"?: ...}`` dict from
     ``load_variables``/the torch converter) into freshly-initialised
     ``variables`` — the reference's finetune loads
@@ -136,6 +137,11 @@ def graft_variables(variables, loaded, only_subtree: Optional[str] = None,
     Leaves with mismatched shapes are skipped with a report, matching the
     reference's missing/unexpected-key tolerance (``ckpt_util.py:225-258``).
     ``grafted_paths``: optional out-list collecting every grafted leaf path.
+    Model leaves ABSENT from the checkpoint keep fresh init and are reported
+    as ``(missing from checkpoint)`` — callers that publish metrics must
+    treat those as fatal (eval on partially-random weights is garbage).
+    Partial-by-design callers (e.g. the pretrain-encoder transfer, where the
+    decoder/head keep fresh init on purpose) pass ``report_missing=False``.
     Returns ``(variables, skipped)``."""
     import copy
 
@@ -166,11 +172,27 @@ def graft_variables(variables, loaded, only_subtree: Optional[str] = None,
                                f"{getattr(v, 'shape', '?')} vs "
                                f"{getattr(dst[k], 'shape', '?')})")
 
+    def _not_loaded(dst, prefix, touched):
+        # dst-side leaves _merge never visits (it iterates src): absent from
+        # the checkpoint entirely -> still random init after the graft
+        for k, v in dst.items():
+            path = f"{prefix}{k}"
+            if isinstance(v, dict):
+                _not_loaded(v, f"{path}/", touched)
+            elif path not in touched and (only_subtree is None
+                                          or only_subtree in path):
+                skipped.append(f"{path} (missing from checkpoint)")
+
     out = copy.deepcopy(variables)
     for col in ("params", "batch_stats"):
         if col not in loaded or col not in out:
             continue
+        before_g, before_s = len(grafted), len(skipped)
         _merge(out[col], loaded[col], f"{col}/")
+        if report_missing:
+            touched = set(grafted[before_g:])
+            touched.update(s.split(" (", 1)[0] for s in skipped[before_s:])
+            _not_loaded(out[col], f"{col}/", touched)
     if only_subtree is not None and not grafted:
         skipped.append(f"no module path matches '{only_subtree}' "
                        f"in the checkpoint")
@@ -213,8 +235,11 @@ def load_pretrain_encoder(variables, pretrain_path: str,
                          f"module to transfer (a geot_tpu.engine.pretrain "
                          f"checkpoint is expected)")
     grafted_paths: list = []
+    # partial by design: the seg decoder/head/T-machinery keep fresh init —
+    # only src-side anomalies (unexpected/shape) belong in `skipped`
     merged, skipped = graft_variables(inner_fresh, inner_loaded,
-                                      grafted_paths=grafted_paths)
+                                      grafted_paths=grafted_paths,
+                                      report_missing=False)
     if not grafted_paths:
         raise ValueError(
             f"{pretrain_path}: no pretrain-encoder entry matched the model "
@@ -370,14 +395,21 @@ def convert_torch_seg_t(state_dict: Dict[str, np.ndarray], depth: int = 12):
     return ({"segmentor": params}, {"segmentor": stats})
 
 
-def load_torch_pth(path: str):
-    """Read a reference ``.pth`` checkpoint's model state_dict as numpy."""
+def load_torch_pth(path: str, with_epoch: bool = False):
+    """Read a reference ``.pth`` checkpoint's model state_dict as numpy.
+
+    ``with_epoch=True`` also returns the checkpoint's epoch counter (0 when
+    the file is a bare state_dict) so converters can forward it."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("model", ckpt)
-    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
-            for k, v in sd.items()}
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd_np = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+             for k, v in sd.items()}
+    if with_epoch:
+        epoch = int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0
+        return sd_np, epoch
+    return sd_np
 
 
 def convert_cli(argv=None):
@@ -401,14 +433,17 @@ def convert_cli(argv=None):
     import jax
     import orbax.checkpoint as ocp
 
-    sd = load_torch_pth(args.pth)
+    sd, epoch = load_torch_pth(args.pth, with_epoch=True)
     params, stats = convert_torch_seg_t(sd, depth=args.depth)
     v = {"params": params}
     if stats:
         v["batch_stats"] = stats
     out = os.path.abspath(args.out)
     saver = ocp.StandardCheckpointer()
-    saver.save(out, {"state": v})
+    # full save_checkpoint payload shape (epoch forwarded from the .pth) so
+    # the artifact also feeds load_checkpoint / mode=resume, not just
+    # load_variables
+    saver.save(out, {"state": v, "epoch": epoch, "extra": {}})
     saver.wait_until_finished()
     saver.close()
     n = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))

@@ -148,8 +148,14 @@ def main(cfg: EasyConfig) -> dict:
 
     start_epoch = int(cfg.get("start_epoch", 1))
     best = {"loss": float("inf"), "epoch": 0}
-    if cfg.get("mode") == "resume" and cfg.get("pretrained_path") \
-            and os.path.isdir(str(cfg["pretrained_path"])):
+    if cfg.get("mode") == "resume":
+        if not (cfg.get("pretrained_path")
+                and os.path.isdir(str(cfg["pretrained_path"]))):
+            # never silently restart pretraining from scratch (train.py
+            # resume semantics; round-3 review finding)
+            raise FileNotFoundError(
+                f"mode=resume requires pretrained_path pointing at a "
+                f"checkpoint directory; got {cfg.get('pretrained_path')!r}")
         from .checkpoint import load_checkpoint
         state, ckpt_epoch, extra = load_checkpoint(cfg["pretrained_path"], state)
         start_epoch = int(ckpt_epoch) + 1

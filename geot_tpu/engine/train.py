@@ -190,11 +190,17 @@ def main(cfg: EasyConfig) -> dict:
     # remap, ``base_seg.py:97-123``): graft a geot_tpu.engine.pretrain
     # checkpoint's encoder trunk into the segmentor before training
     pep = cfg.get("pretrain_encoder_path")
-    if pep and os.path.isdir(str(pep)):
+    if pep:
+        if not os.path.isdir(str(pep)):
+            # a typo'd path silently training from random encoder init is the
+            # worst failure mode of a transfer run — refuse instead
+            raise FileNotFoundError(
+                f"pretrain_encoder_path={pep} is not a checkpoint directory")
         from .checkpoint import load_pretrain_encoder
         variables, pep_skipped = load_pretrain_encoder(variables, pep)
-        logger.info(f"grafted pretrain encoder from {pep} "
-                    f"({len(pep_skipped)} entries kept fresh init)")
+        logger.info(f"grafted pretrain encoder from {pep}"
+                    + (f" ({len(pep_skipped)} anomalies: {pep_skipped[:3]})"
+                       if pep_skipped else ""))
 
     tx = build_optimizer_from_cfg(None, lr=cfg.lr,
                                   every_k=int(cfg.get("step_per_update", 1) or 1),
@@ -233,6 +239,15 @@ def main(cfg: EasyConfig) -> dict:
         variables, skipped = graft_variables(variables, loaded_vars,
                                              only_subtree=subtree)
         if skipped:
+            missing = [s for s in skipped
+                       if s.endswith("(missing from checkpoint)")]
+            if missing and eval_only:
+                # eval on partially-random weights publishes garbage metrics
+                # — same refusal as load_checkpoint's partial-restore guard
+                raise ValueError(
+                    f"checkpoint {pretrained} does not cover the model: "
+                    f"{len(missing)} leaves kept random init "
+                    f"({missing[:5]}{'...' if len(missing) > 5 else ''})")
             logger.warning(f"checkpoint graft skipped {len(skipped)} entries: "
                            f"{skipped[:5]}{'...' if len(skipped) > 5 else ''}")
     elif pretrained and mode not in ("resume",):
@@ -310,7 +325,13 @@ def main(cfg: EasyConfig) -> dict:
 
     # resume: restore the full state pytree + epoch counter
     # (reference ``resume_checkpoint``, ``openpoints/utils/ckpt_util.py:111``)
-    if cfg.get("mode") == "resume" and pretrained and os.path.isdir(str(pretrained)):
+    if mode == "resume":
+        if not (pretrained and os.path.isdir(str(pretrained))):
+            # silently restarting from scratch would overwrite the run's
+            # *_ckpt_best/latest with fresh-init training — refuse
+            raise FileNotFoundError(
+                f"mode=resume requires pretrained_path pointing at a "
+                f"checkpoint directory; got {pretrained!r}")
         from .checkpoint import load_checkpoint as _load_state
         state, ckpt_epoch, extra = _load_state(pretrained, state)
         start_epoch = int(ckpt_epoch) + 1

@@ -26,6 +26,15 @@ def test_convert_cli_roundtrip(tmp_path):
 
     v = load_variables(out)
     assert set(v) == {"params", "batch_stats"}
+
+    # the artifact carries the full save_checkpoint payload shape so
+    # load_checkpoint / mode=resume can consume it too (round-3 review:
+    # a state-only payload KeyError'd in the documented resume workflow)
+    import orbax.checkpoint as ocp
+
+    payload = ocp.StandardCheckpointer().restore(out)
+    assert payload["epoch"] == 300
+    assert "extra" in payload
     params, stats = convert_torch_seg_t(
         {k: t.numpy() for k, t in sd.items()}, depth=DEPTH)
     import jax

@@ -63,6 +63,25 @@ class TestGraftVariables:
         np.testing.assert_array_equal(out["params"]["head"]["w"],
                                       fresh["params"]["head"]["w"])
 
+    def test_missing_from_checkpoint_reported(self):
+        """Model leaves absent from the checkpoint keep random init — that
+        must be REPORTED (round-3 review: a smaller-config ckpt grafted into
+        a bigger model published eval metrics from partially-random weights
+        with zero warning)."""
+        fresh, saved = self._vars(0), self._vars(1)
+        del saved["params"]["head"]          # ckpt lacks the whole head
+        out, skipped = graft_variables(fresh, saved)
+        assert any(s == "params/head/w (missing from checkpoint)"
+                   for s in skipped)
+        np.testing.assert_array_equal(out["params"]["head"]["w"],
+                                      fresh["params"]["head"]["w"])
+        # a shape-mismatch leaf is reported once (as a mismatch), not also
+        # as missing
+        fresh2, saved2 = self._vars(0), self._vars(1)
+        saved2["params"]["head"]["w"] = jnp.zeros((3, 2))
+        _, skipped2 = graft_variables(fresh2, saved2)
+        assert sum("head/w" in s for s in skipped2) == 1
+
     def test_no_subtree_match_reported(self):
         fresh, saved = self._vars(0), self._vars(1)
         _, skipped = graft_variables(fresh, saved, only_subtree="nonexistent")
@@ -138,6 +157,14 @@ class TestEvalOnlyAndFinetune:
         cfg_n.pretrained_path = None
         with pytest.raises(ValueError):
             main(cfg_n)
+
+        # mode=resume with a missing checkpoint dir must refuse instead of
+        # silently retraining from scratch (and overwriting *_ckpt_best)
+        cfg_r = _smoke_cfg(tmp_path, "badresume")
+        cfg_r.mode = "resume"
+        cfg_r.pretrained_path = str(tmp_path / "gone")
+        with pytest.raises(FileNotFoundError):
+            main(cfg_r)
 
         # mode=finetune: grafts weights, then trains from epoch 1
         cfg_f = _smoke_cfg(tmp_path, "ft")

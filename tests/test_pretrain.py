@@ -39,6 +39,16 @@ def _pretrain_cfg(tmp_path):
     return cfg
 
 
+def test_pretrain_resume_missing_path_refuses(tmp_path):
+    from geot_tpu.engine.pretrain import main as pretrain_main
+
+    cfg = _pretrain_cfg(tmp_path)
+    cfg.mode = "resume"
+    cfg.pretrained_path = str(tmp_path / "gone")
+    with pytest.raises(FileNotFoundError):
+        pretrain_main(cfg)
+
+
 @pytest.mark.slow
 def test_pretrain_then_encoder_graft(tmp_path):
     from geot_tpu.engine.pretrain import main as pretrain_main
