@@ -127,7 +127,8 @@ def _metrics_from_cm(cm: np.ndarray):
 
 def validate(eval_step, variables, val_loader, cfg, logger=None,
              num_votes: int = 0, data_transform=None,
-             bucket: int = 8192, mesh=None) -> Dict[str, float]:
+             bucket: int = 8192, mesh=None,
+             tag: str = "val") -> Dict[str, float]:
     """Reference ``validate`` (``train.py:716-779``): whole-scan metrics split
     into mandible (cls 0) / maxillary (cls 1) / whole means.
 
@@ -265,5 +266,6 @@ def validate(eval_step, variables, val_loader, cfg, logger=None,
         out[f"whole_{k}"] = total / n if n else float("nan")
     out["sampled_acc"] = _mean(sampled_accs)
     if logger is not None:
-        logger.info("val: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
+        logger.info(f"{tag}: "
+                    + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
     return out

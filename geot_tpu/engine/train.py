@@ -284,7 +284,7 @@ def main(cfg: EasyConfig) -> dict:
             vote_t = build_transforms_from_cfg("vote", cfg.get("datatransforms"))
         res = validate(eval_step, test_vars, eval_loader, cfg, logger,
                        num_votes=int(cfg.get("num_votes", 0) or 0),
-                       data_transform=vote_t, mesh=mesh)
+                       data_transform=vote_t, mesh=mesh, tag=eval_split)
         if writer:
             for k, v in res.items():
                 writer.add_scalar(f"{mode}_{k}", v, 0)
@@ -539,7 +539,7 @@ def main(cfg: EasyConfig) -> dict:
                                                                test_vars)
                         logger.info(f"test eval on best ckpt (epoch {best['epoch']})")
                 res = validate(eval_step, test_vars, test_loader, cfg, logger,
-                               mesh=mesh)
+                               mesh=mesh, tag="test")
                 results["test"] = res
                 if writer:
                     for k, v in res.items():
@@ -549,7 +549,8 @@ def main(cfg: EasyConfig) -> dict:
                     vote_t = build_transforms_from_cfg("vote", cfg.get("datatransforms"))
                     res_v = validate(eval_step, test_vars, test_loader, cfg,
                                      logger, num_votes=int(cfg["num_votes"]),
-                                     data_transform=vote_t, mesh=mesh)
+                                     data_transform=vote_t, mesh=mesh,
+                                     tag="test_voting")
                     results["test_voting"] = res_v
                     if writer:
                         for k, v in res_v.items():
