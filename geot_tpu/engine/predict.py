@@ -35,6 +35,18 @@ def load_model_and_params(cfg, ckpt_path: str | None):
     import jax.numpy as jnp
 
     model = build_model_from_cfg(cfg.model)
+    if ckpt_path and ckpt_path.endswith(".pth"):
+        # converter output is pure numpy: device_put it once, or every jitted
+        # forward re-uploads the whole weight tree H2D per call (seconds per
+        # request through the axon tunnel)
+        from .checkpoint import convert_torch_seg_t, load_torch_pth
+
+        sd = load_torch_pth(ckpt_path)
+        p, s = convert_torch_seg_t(sd, depth=cfg.model.segmentor_args.depth)
+        return model, jax.device_put({"params": p, "batch_stats": s})
+
+    # fresh init is the template (and the no-checkpoint fallback); skipped
+    # for .pth above — the converter rebuilds both trees from scratch
     n = int(cfg.get("num_points", 16000))
     pos0 = jnp.zeros((1, n, 3))
     init_batch = {"pos": pos0, "x": pos0, "cls": jnp.zeros((1, 1), jnp.int32)}
@@ -42,23 +54,22 @@ def load_model_and_params(cfg, ckpt_path: str | None):
     variables = jax.jit(model.init)(
         {"params": key, "dropout": jax.random.fold_in(key, 1)}, init_batch)
     if ckpt_path:
-        if ckpt_path.endswith(".pth"):
-            from .checkpoint import convert_torch_seg_t, load_torch_pth
+        from flax.serialization import from_state_dict
 
-            sd = load_torch_pth(ckpt_path)
-            p, s = convert_torch_seg_t(sd, depth=cfg.model.segmentor_args.depth)
-            variables = {"params": p, "batch_stats": s}
-        else:
-            from flax.serialization import from_state_dict
-            import orbax.checkpoint as ocp
+        from .checkpoint import load_variables
 
-            payload = ocp.StandardCheckpointer().restore(
-                os.path.abspath(ckpt_path))  # orbax requires absolute paths
-            state = payload["state"]
-            variables = {"params": from_state_dict(variables["params"],
-                                                   state["params"]),
-                         "batch_stats": from_state_dict(variables["batch_stats"],
-                                                        state["batch_stats"])}
+        loaded = load_variables(ckpt_path)   # handles optional batch_stats
+        missing = set(variables) - {"params"} - set(loaded)
+        if missing & {"batch_stats"}:
+            raise ValueError(f"{ckpt_path} has no batch_stats but the model "
+                             f"needs them — wrong checkpoint for this model?")
+        # from_state_dict validates leaf coverage against the init template
+        # (loud failure on tree drift instead of random-weight inference);
+        # collections absent from the checkpoint keep their template values
+        variables = {col: (from_state_dict(variables[col], loaded[col])
+                           if col in loaded else variables[col])
+                     for col in variables}
+        variables = jax.device_put(variables)
     return model, variables
 
 
@@ -85,7 +96,8 @@ def _get_fwd(model):
 def predict_scan(model, variables, points: np.ndarray, jaw: int = 0,
                  num_points: int = 16000, seed: int = 0,
                  num_votes: int = 0, vote_transform=None):
-    """points (P, 3) raw scan -> (full-res predictions (P,), sampled logits).
+    """points (P, 3) raw scan -> (full-res predictions (P,) np.uint8,
+    sampled logits (N, C) DEVICE array — ``np.asarray`` it if needed).
 
     ``num_votes > 0`` with a ``vote_transform``: average softmax over
     additional augmented passes — the reference's TTA voting protocol
@@ -116,7 +128,9 @@ def predict_scan(model, variables, points: np.ndarray, jaw: int = 0,
     # uint8 labels: 4x less D2H than int32 argmax (17 classes fit a byte)
     preds = get_pred_whole(logits, pos, [points], [center], [scale],
                            dtype=np.uint8)
-    return preds[0], np.asarray(logits[0])
+    # logits stay a DEVICE array: fetching the (N, C) f32 block costs ~1 s
+    # through the tunnel and every current caller discards it
+    return preds[0], logits[0]
 
 
 def predict_stream(model, variables, items, num_points: int = 16000,
@@ -160,7 +174,9 @@ def predict_stream(model, variables, items, num_points: int = 16000,
         replicas = [jax.device_put(variables, d) for d in devices]
         inflight = max(inflight, 2 * len(devices))  # keep every queue fed
     else:
-        devices, replicas = [None], [variables]
+        # device_put (idempotent for device arrays) so numpy weight trees
+        # don't re-upload H2D on every scan
+        devices, replicas = [None], [jax.device_put(variables)]
 
     def _put(x, d):
         return jax.device_put(x, d) if d is not None else jnp.asarray(x)
@@ -270,9 +286,12 @@ def main(argv=None):
 
     jaw = args.jaw
     if jaw is None:
-        jaw = 0 if "lower" in args.input.lower() else 1
+        # filename only — a 'lower' in a parent DIRECTORY name must not
+        # flip the jaw (matches _iter_scan_files)
+        jaw = 0 if "lower" in os.path.basename(args.input).lower() else 1
 
-    points = (np.load(args.input) if args.input.endswith(".npy")
+    points = (np.load(args.input)
+              if args.input.lower().endswith(".npy")
               else load_obj_vertices(args.input))
     model, variables = load_model_and_params(cfg, args.ckpt)
     t0 = time.time()

@@ -62,12 +62,13 @@ class _Service:
             exported = load_exported(artifact)
             avals = exported.in_avals
             if (len(avals) != 2 or len(avals[0].shape) != 3
-                    or avals[0].shape[-1] != 3):
+                    or avals[0].shape[-1] != 3 or avals[0].shape[0] != 1):
                 raise ValueError(
                     f"artifact {artifact} must be an embed_params export with "
-                    f"(pos (B,N,3), cls (B,1)) inputs; got input specs "
+                    f"(pos (1,N,3), cls (1,1)) inputs (the endpoint serves "
+                    f"one scan per request); got input specs "
                     f"{[tuple(a.shape) for a in avals]} — re-export with "
-                    f"export_forward(..., embed_params=True)")
+                    f"export_forward(..., embed_params=True, batch=1)")
             self.num_points = int(avals[0].shape[1])
             self.model, self.variables = _ArtifactModel(exported), None
         else:
@@ -146,11 +147,11 @@ def make_handler(service: _Service):
 
 
 def serve(cfg, ckpt=None, port: int = 8756, warmup: bool = True,
-          artifact: str | None = None):
+          artifact: str | None = None, host: str = "127.0.0.1"):
     """Build the service and return a started ``ThreadingHTTPServer``
     (caller owns shutdown; port 0 picks a free port)."""
     service = _Service(cfg, ckpt, warmup=warmup, artifact=artifact)
-    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     return httpd
@@ -165,6 +166,9 @@ def main(argv=None):
                         help="serve an AOT StableHLO export (engine.export) "
                              "— no model code or config required")
     parser.add_argument("--port", type=int, default=8756)
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="bind address (0.0.0.0 to accept non-local "
+                             "connections, e.g. from outside a container)")
     parser.add_argument("--fast", action="store_true",
                         help="stratified-FPS + fast_graph serving path")
     args, opts = parser.parse_known_args(argv)
@@ -185,9 +189,10 @@ def main(argv=None):
     elif not args.artifact:
         parser.error("--cfg or --artifact is required")
 
-    httpd = serve(cfg, args.ckpt, port=args.port, artifact=args.artifact)
-    print(f"serving on http://127.0.0.1:{httpd.server_address[1]} "
-          f"(POST /predict, GET /healthz)")
+    httpd = serve(cfg, args.ckpt, port=args.port, artifact=args.artifact,
+                  host=args.host)
+    print(f"serving on http://{httpd.server_address[0]}:"
+          f"{httpd.server_address[1]} (POST /predict, GET /healthz)")
     try:
         while True:
             time.sleep(3600)
