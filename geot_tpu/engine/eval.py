@@ -36,6 +36,16 @@ def _upsample_pred(probs, pos, full_points, center, scale):
     return jnp.argmax(logit_whole, axis=-1)
 
 
+def pad_to_bucket(points: np.ndarray, bucket: int) -> np.ndarray:
+    """Zero-pad (P, 3) points to the next ``bucket`` multiple so the full-res
+    upsample jit compiles once per bucket — the ONE padding rule shared by
+    eval, predict_stream, and get_pred_whole (keep them in lockstep)."""
+    P = len(points)
+    padded = np.zeros((-(-P // bucket) * bucket, 3), dtype=np.float32)
+    padded[:P] = points
+    return padded
+
+
 def get_pred_whole(logits, pos, full_points_list, centers, scales,
                    bucket: int = 8192, dtype=None) -> List[np.ndarray]:
     """Per-sample full-resolution predictions (reference ``train.py:781-800``).
@@ -49,9 +59,7 @@ def get_pred_whole(logits, pos, full_points_list, centers, scales,
     for i, full in enumerate(full_points_list):
         full = np.asarray(full, dtype=np.float32)
         P = len(full)
-        padded_len = -(-P // bucket) * bucket
-        padded = np.zeros((padded_len, 3), dtype=np.float32)
-        padded[:P] = full
+        padded = pad_to_bucket(full, bucket)
         args = (probs[i], jnp.asarray(pos[i]), jnp.asarray(padded),
                 jnp.asarray(np.asarray(centers[i], dtype=np.float32)),
                 jnp.asarray(np.float32(scales[i])))
@@ -76,7 +84,15 @@ def tta_vote_logits(logits, pos_host, num_votes, transform, rng, run_on_pos):
     log-probs (argmax-equivalent logits).  Shared by ``validate`` and the
     predict/serve path so the protocol cannot diverge between evaluation and
     inference.  ``run_on_pos(pos) -> logits`` runs the forward on transformed
-    positions of ``pos_host``'s shape."""
+    positions of ``pos_host``'s shape.
+
+    The transform sees ``pos_host`` exactly as the reference's voting does:
+    the BATCHED (B, N, 3) tensor in ``validate`` (one random draw shared by
+    the batch, like the reference applying ``voting_transform`` to the batch
+    dict) and a single (N, 3) scan in predict/serve.  The shipped vote
+    pipeline (``PointCloudScaling``) is shape-agnostic; a vote transform
+    that reduces over axis 0 (e.g. ``PointCloudCenterAndNormalize``) is only
+    meaningful per-scan — same caveat as in the reference."""
     probs = jax.nn.softmax(logits, axis=-1)
     for _ in range(num_votes):
         voted = transform({"pos": np.asarray(pos_host).copy()}, rng)
@@ -187,9 +203,7 @@ def validate(eval_step, variables, val_loader, cfg, logger=None,
             for i, full in enumerate(batch["points"]):
                 full = np.asarray(full, dtype=np.float32)
                 P = len(full)
-                padded_len = -(-P // bucket) * bucket
-                padded = np.zeros((padded_len, 3), dtype=np.float32)
-                padded[:P] = full
+                padded = pad_to_bucket(full, bucket)
                 lab = np.zeros((padded_len,), dtype=np.int32)
                 lab[:P] = np.asarray(batch["labels"][i], dtype=np.int32)
                 dev = devs[n_sample % len(devs)]

@@ -160,6 +160,7 @@ def predict_stream(model, variables, items, num_points: int = 16000,
     import jax.numpy as jnp
 
     from .eval import _upsample_pred
+    from .eval import pad_to_bucket as _pad
 
     fwd = jax.jit(lambda v, b: jax.nn.softmax(
         model.apply(v, b)[0][0], axis=-1))
@@ -196,9 +197,7 @@ def predict_stream(model, variables, items, num_points: int = 16000,
         pos = _put(points_norm[sel][None], d)
         probs = fwd(v, {"pos": pos, "x": pos,
                         "cls": _put(np.full((1, 1), jaw, np.int32), d)})
-        P = len(points)
-        padded = np.zeros((-(-P // bucket) * bucket, 3), np.float32)
-        padded[:P] = points
+        padded = _pad(points, bucket)
         dev = upsample_u8(probs, pos[0], _put(padded, d),
                           _put(center, d), _put(np.float32(scale), d))
         pending.append((name, points, jaw, dev))

@@ -126,8 +126,11 @@ class Block(nn.Module):
                       dtype=self.dtype, name="attn")(h, training=training)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, training=training)
         h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        # kernel_init=xavier: the reference xavier-uniforms EVERY Linear/Conv
+        # recursively via ``_init_weights`` (``transformer.py:997-1012``),
+        # including the MLP fc1/fc2 — from-scratch init parity
         h = MlpBlock(int(C * self.mlp_ratio), C, self.drop, dtype=self.dtype,
-                     name="mlp")(h, training=training)
+                     kernel_init=xavier, name="mlp")(h, training=training)
         x = x + DropPath(self.drop_path, name="drop_path2")(h, training=training)
         return x
 
@@ -196,8 +199,10 @@ class FeaturePropagation(nn.Module):
         if unknown_feats is not None:
             interp = jnp.concatenate([interp,
                                       unknown_feats.astype(interp.dtype)], axis=-1)
-        return SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(interp,
-                                                                 training=training)
+        # xavier like every other Dense in this backbone (reference
+        # ``_init_weights`` covers the FP SharedMLP convs too)
+        return SharedMLP(self.mlp, dtype=self.dtype, kernel_init=xavier,
+                         name="mlp")(interp, training=training)
 
 
 class DGCNNPropagation(nn.Module):
@@ -651,7 +656,13 @@ class SigTMean(nn.Module):
         # x: (B, N, C) softmax; cm: (C, C) class-mean softmax matrix
         C = self.nclasses
         out = x.reshape(-1, C)                                         # (M, C)
-        w = self.param("fc", xavier, (C, 2 * C, C))                    # per-class
+        # per-class stack of Linear(2C -> C) weights: batch_axis=0 keeps the
+        # xavier fan PER CLASS (fan_in 2C, fan_out C) — plain xavier over the
+        # 3-D param would fold the class dim into the receptive field and
+        # shrink the init ~sqrt(C)
+        per_class_xavier = nn.initializers.variance_scaling(
+            1.0, "fan_avg", "uniform", in_axis=-2, out_axis=-1, batch_axis=0)
+        w = self.param("fc", per_class_xavier, (C, 2 * C, C))
         w1, w2 = w[:, :C, :], w[:, C:, :]
         data = jnp.einsum("mc,kcd->mkd", out, w1)                      # (M, C, C)
         const = jnp.einsum("kc,kcd->kd", cm, w2)                       # (C, C)

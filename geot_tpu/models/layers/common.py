@@ -78,13 +78,16 @@ class MlpBlock(nn.Module):
     out_features: int
     drop: float = 0.0
     dtype: any = None
+    kernel_init: any = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(self.hidden_features, dtype=self.dtype,
+                     kernel_init=self.kernel_init, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop, deterministic=not training)(x)
-        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(self.out_features, dtype=self.dtype,
+                     kernel_init=self.kernel_init, name="fc2")(x)
         x = nn.Dropout(self.drop, deterministic=not training)(x)
         return x
 
@@ -98,13 +101,14 @@ class SharedMLP(nn.Module):
     use_bn: bool = True
     activate_last: bool = True
     dtype: any = None
+    kernel_init: any = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         n = len(self.channels)
         for i, c in enumerate(self.channels):
             x = nn.Dense(c, use_bias=not self.use_bn, dtype=self.dtype,
-                         name=f"dense_{i}")(x)
+                         kernel_init=self.kernel_init, name=f"dense_{i}")(x)
             last = i == n - 1
             if self.use_bn:
                 x = nn.BatchNorm(use_running_average=not training, dtype=self.dtype,

@@ -54,7 +54,11 @@ def fps(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("npoint",))
 def fps_weighted(xyz: jnp.ndarray, weights: jnp.ndarray, npoint: int) -> jnp.ndarray:
     """Weighted FPS (reference ``pointops.fps_weight``): candidate score is
-    ``min over selected(d2 * max(w, 1e-12))``."""
+    ``min over selected(d2 * max(w, 1e-12))``.
+
+    Always the XLA loop — no weighted Pallas kernel exists (the op is
+    reference-surface parity, not on any hot path; GeoT's configs never
+    call it).  A TPU hot-path user should extend ``pallas_fps`` first."""
     return _fps_impl(xyz.astype(jnp.float32), weights.astype(jnp.float32), npoint)
 
 
@@ -133,18 +137,31 @@ def fps_stratified(xyz: jnp.ndarray, npoint: int, fps_prefix: int,
     else:
         perm = jnp.asarray(np.random.default_rng(perm_seed).permutation(N))
         cand = jnp.broadcast_to(perm[None, :], (B, N))
-    taken = jnp.zeros((B, N), bool).at[
-        jnp.arange(B)[:, None], head].set(True)
-    taken_c = jnp.take_along_axis(taken, cand, axis=1)
-    # stable partition (un-taken candidates first, schedule order preserved):
-    # target slots via two cumsums + one scatter — equivalent to a stable
-    # argsort on the boolean key but without the sorting network
-    untaken = ~taken_c
-    n_untaken = N - fps_prefix                     # head indices are distinct
-    pos = jnp.where(untaken,
-                    jnp.cumsum(untaken, axis=1) - 1,
-                    n_untaken + jnp.cumsum(taken_c, axis=1) - 1)
-    part = jnp.zeros((B, N), cand.dtype).at[
-        jnp.arange(B)[:, None], pos].set(cand, unique_indices=True)
-    tail = part[:, : npoint - fps_prefix]
-    return jnp.concatenate([head, tail], axis=1)
+    rows = jnp.arange(B)[:, None]
+    taken = jnp.zeros((B, N), bool).at[rows, head].set(True)
+    untaken = ~jnp.take_along_axis(taken, cand, axis=1)
+    # A degenerate cloud (fewer distinct points than fps_prefix — e.g. a
+    # small scan upsampled with replacement) makes FPS repeat indices once
+    # min-distances hit zero.  Keep only each head index's FIRST occurrence
+    # so the combined sequence stays duplicate-free: the result is a true
+    # permutation when npoint == N (the model's inverse scatter requires
+    # one), and in the common all-distinct case `occ` is all-True and the
+    # behaviour is byte-identical to head-then-fill.
+    jot = jnp.broadcast_to(jnp.arange(head.shape[1], dtype=jnp.int32),
+                           head.shape)
+    first = jnp.full((B, N), head.shape[1], jnp.int32).at[
+        rows, head].min(jot)
+    occ = jnp.take_along_axis(first, head, axis=1) == jot
+    # stable partition over [head | candidates] (kept entries first, order
+    # preserved): target slots via two cumsums + one scatter — equivalent to
+    # a stable argsort on the boolean key but without the sorting network.
+    # Kept = distinct head (k) + untaken candidates (N - k) = exactly N, so
+    # `pos` is a bijection onto [0, L + N) and the scatter cannot collide.
+    seqv = jnp.concatenate([head.astype(cand.dtype), cand], axis=1)
+    keep = jnp.concatenate([occ, untaken], axis=1)
+    pos = jnp.where(keep,
+                    jnp.cumsum(keep, axis=1) - 1,
+                    N + jnp.cumsum(~keep, axis=1) - 1)
+    part = jnp.zeros((B, seqv.shape[1]), cand.dtype).at[
+        rows, pos].set(seqv, unique_indices=True)
+    return part[:, :npoint]

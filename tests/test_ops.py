@@ -357,3 +357,24 @@ class TestFPSStratified:
         i1 = np.asarray(fps_stratified(pts, 200, 50))
         i2 = np.asarray(fps_stratified(pts, 200, 50))
         np.testing.assert_array_equal(i1, i2)
+
+    def test_full_order_is_permutation_with_duplicate_points(self, rng):
+        """A cloud with fewer distinct points than fps_prefix (a small scan
+        upsampled with replacement — predict_scan always resamples) makes FPS
+        repeat indices; the stratified full order must STILL be a permutation
+        or the model's inverse scatter silently corrupts every prediction
+        (round-3 review finding)."""
+        from geot_tpu.ops import fps_stratified
+
+        base = rng.standard_normal((8, 3)).astype(np.float32)
+        pts = jnp.asarray(np.tile(base, (32, 1))[None])    # (1, 256, 3)
+        order = np.asarray(fps_stratified(pts, 256, 64))   # prefix > distinct
+        np.testing.assert_array_equal(np.sort(order[0]), np.arange(256))
+        # distinct clouds keep the head-then-fill behaviour byte-identical
+        from geot_tpu.ops import fps
+
+        pts2 = jnp.asarray(rng.standard_normal((2, 256, 3)).astype(np.float32))
+        order2 = np.asarray(fps_stratified(pts2, 256, 64))
+        np.testing.assert_array_equal(order2[:, :64], np.asarray(fps(pts2, 64)))
+        for b in range(2):
+            np.testing.assert_array_equal(np.sort(order2[b]), np.arange(256))
