@@ -204,7 +204,7 @@ def validate(eval_step, variables, val_loader, cfg, logger=None,
                 full = np.asarray(full, dtype=np.float32)
                 P = len(full)
                 padded = pad_to_bucket(full, bucket)
-                lab = np.zeros((padded_len,), dtype=np.int32)
+                lab = np.zeros((len(padded),), dtype=np.int32)
                 lab[:P] = np.asarray(batch["labels"][i], dtype=np.int32)
                 dev = devs[n_sample % len(devs)]
                 n_sample += 1

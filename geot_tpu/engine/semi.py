@@ -5,6 +5,23 @@ Pure-function redesign of the per-batch loops in ``train_one_epoch``
 ``class_T`` with a python loop over classes and ``prior_T`` with a nested
 class loop; here both are single vectorised expressions (argmax-gather and a
 precomputed FDI-adjacency distance matrix).
+
+Two DELIBERATE deviations from the reference (both reference bugs, fixed
+here and documented — same policy as the cm-bootstrap row-indexing fix):
+
+1. Row normalisation: the reference's ``x / torch.sum(x, 1)`` (train.py:538,
+   541, 544, 558) is missing ``keepdim=True``, so the (C,) row-sum vector
+   broadcasts over the LAST axis — entry [i, j] is divided by row j's sum,
+   not row i's.  Every normalisation here divides by the row's own sum
+   (``keepdims=True``), which is what a transition matrix requires
+   (rows sum to 1).
+2. ``filter_outlier`` quantile zeroing: the reference zeroes through a VIEW
+   (``robust_eta = eta_corr[:, cc, :]; robust_eta[...] = 0`` mutates
+   ``eta_corr`` in place, train.py:511-513), so anchor rows gathered later
+   (``class_T[cc] = eta_corr[idx_best0, :, idx_best1]``) carry zeros at
+   already-processed classes — making class_T depend on the class iteration
+   order.  Here the zeroing affects only anchor SELECTION; the gathered
+   anchor row is the unmutated softmax.
 """
 from __future__ import annotations
 

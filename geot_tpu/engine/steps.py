@@ -198,10 +198,16 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
                 unsup = criterion_u(pred_u_strong, pseudo,
                                     batch_l["class_weights"], conf, thresh=threshold)
             elif criterion_u_name == "Poly1FocalLoss_U":
-                unsup = criterion_u(pred_u_strong, pseudo, conf, thresh=threshold)
+                # mask=refine_mask keeps the loss mask and the scale-factor
+                # mask (thresh_mask below) consistent under pseudo_refine —
+                # the reference dispatch passes its mask here too
+                # (``train.py:589-590``, though its mask is always None)
+                unsup = criterion_u(pred_u_strong, pseudo, conf,
+                                    thresh=threshold, mask=refine_mask)
             elif criterion_u_name == "Poly1FocalLoss_U_T":
                 unsup = criterion_u(pred_u_strong, pseudo, conf, ntm.ema_t,
-                                    jax.nn.softmax(pred_u_corr, -1), thresh=threshold)
+                                    jax.nn.softmax(pred_u_corr, -1),
+                                    thresh=threshold, mask=refine_mask)
             elif criterion_u_name == "Poly1FocalLoss_U_T_v1":
                 # delta_T is the model's T-revision output (reference
                 # ``train.py:490`` second return; loss ``build.py:691-795``)
@@ -274,13 +280,20 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             (state.params, state.t_params))
         g_model, g_t = grads
-        extra = {}
+        extra, t_extra = {}, {}
         if needs_hessian:
+            # ONE joint Hutchinson pass over (params, t_params) — the torch
+            # reference also runs a single backward over all param groups;
+            # separate per-tree passes would double the forward-over-reverse
+            # jvp cost for the tiny T-predictor diagonal
             from ..optim.adahessian import hutchinson_diag
-            grad_only = lambda p: jax.grad(  # noqa: E731
-                loss_fn, has_aux=True)((p, state.t_params))[0][0]
-            extra["hessian_diag"] = hutchinson_diag(
-                grad_only, state.params, jax.random.fold_in(rng, 0x5EC0))
+            joint_grad = lambda ps: jax.grad(  # noqa: E731
+                loss_fn, has_aux=True)(ps)[0]
+            h_model, h_t = hutchinson_diag(
+                joint_grad, (state.params, state.t_params),
+                jax.random.fold_in(rng, 0x5EC0))
+            extra["hessian_diag"] = h_model
+            t_extra["hessian_diag"] = h_t
         if clip is not None:
             gnorm = optax.global_norm(g_model)
             scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
@@ -290,14 +303,6 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
         updates, opt_state = tx.update(g_model, opt_state, state.params, **extra)
         params = optax.apply_updates(state.params, updates)
 
-        t_extra = {}
-        if needs_hessian:
-            # t_tx is built from the same cfg.optimizer, so AdaHessian needs
-            # the curvature pytree for the T-predictor parameters too
-            t_grad_only = lambda tp: jax.grad(  # noqa: E731
-                loss_fn, has_aux=True)((state.params, tp))[0][1]
-            t_extra["hessian_diag"] = hutchinson_diag(
-                t_grad_only, state.t_params, jax.random.fold_in(rng, 0x7EC0))
         t_opt_state = set_learning_rate(state.t_opt_state, lr)
         t_updates, t_opt_state = t_tx.update(g_t, t_opt_state, state.t_params,
                                              **t_extra)

@@ -91,6 +91,11 @@ def auto_mesh(cfg, logger=None) -> Mesh | None:
     if len(devices) <= 1 or distributed is False:
         return None
     tp = int(cfg.get("tp", 1) or 1)
+    if tp > 1 and len(devices) % tp:
+        # an explicit tensor-parallel request that cannot be honoured must
+        # not silently degrade to fewer devices (or single-device)
+        raise ValueError(f"cfg.tp={tp} does not divide the "
+                         f"{len(devices)}-device count")
     dp = len(devices) // tp
     bs = int(cfg.get("batch_size_l", cfg.get("batch_size", 0)) or 0)
     if distributed == "auto" and bs:
@@ -117,14 +122,9 @@ def _path_str(path) -> str:
 
 def shard_params(params, mesh: Mesh, fsdp: bool = False,
                  fsdp_min_size: int = 1 << 16):
-    fdp = mesh.shape["dp"] if fsdp else 0
-
-    def place(path, leaf):
-        spec = param_sharding_rules(_path_str(path), leaf, fsdp_dp=fdp,
-                                    fsdp_min_size=fsdp_min_size)
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
-
-    return jax.tree_util.tree_map_with_path(place, params)
+    """Alias of ``shard_state`` for bare variable trees (one placement
+    policy — keep the two call paths in lockstep)."""
+    return shard_state(params, mesh, fsdp=fsdp, fsdp_min_size=fsdp_min_size)
 
 
 def shard_state(state: Any, mesh: Mesh, fsdp: bool = False,
