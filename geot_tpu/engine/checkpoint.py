@@ -20,39 +20,86 @@ def _ckpt_path(ckpt_dir: str, run_name: str, tag: str) -> str:
     return os.path.join(os.path.abspath(ckpt_dir), f"{run_name}_ckpt_{tag}")
 
 
+_CKPTR = None
+
+
+def _checkpointer():
+    """One StandardCheckpointer per process: each instance owns async-save
+    background machinery, and constructing one per save/load call leaks
+    threads over a 300-epoch run."""
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def _is_primary() -> bool:
+    """Host-side file ops (rmtree/rename/copytree) must run on ONE process —
+    under multi-host training every process executes save_checkpoint, and
+    concurrent tree deletes/copies on shared storage race.  (The orbax save
+    itself is multi-host-coordinated and must be called by every process.)"""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
+def _swap_into_place(tmp: str, dst: str):
+    """Atomically-enough replace ``dst`` with ``tmp``: the new tree is fully
+    durable before the old one is touched, so a crash at any point leaves at
+    least one complete checkpoint on disk (the old ``dst`` or ``tmp``)."""
+    old = dst + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(dst):
+        os.rename(dst, old)
+    os.rename(tmp, dst)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def save_checkpoint(cfg, state, epoch: int, additional_dict: Optional[Dict] = None,
                     is_best: bool = False, save_freq: Optional[int] = None):
-    """Reference ``save_checkpoint`` (``ckpt_util.py:69-108``) semantics."""
-    import orbax.checkpoint as ocp
+    """Reference ``save_checkpoint`` (``ckpt_util.py:69-108``) semantics.
 
+    Crash-safe: the new payload is written to a ``.tmp`` sibling and swapped
+    in only once durable — the previous ``latest``/``best`` survive a kill
+    mid-save (the preemption path depends on this)."""
     from flax.serialization import to_state_dict
 
     ckpt_dir = cfg["ckpt_dir"]
     run_name = cfg.get("run_name", "run")
     os.makedirs(ckpt_dir, exist_ok=True)
     latest = _ckpt_path(ckpt_dir, run_name, "latest")
+    tmp = latest + ".tmp"
     # canonical nested-dict form so restore is independent of dataclass
     # flatten order
     payload = {"state": to_state_dict(state), "epoch": epoch,
                "extra": additional_dict or {}}
-    ckptr = ocp.StandardCheckpointer()
-    if os.path.exists(latest):
-        shutil.rmtree(latest)
-    ckptr.save(latest, payload)
-    ckptr.wait_until_finished()
-    if is_best:
-        best = _ckpt_path(ckpt_dir, run_name, "best")
-        if os.path.exists(best):
-            shutil.rmtree(best)
-        shutil.copytree(latest, best)
-    if save_freq and epoch % save_freq == 0:
-        mile = _ckpt_path(ckpt_dir, run_name, f"E{epoch}")
-        if not os.path.exists(mile):
-            shutil.copytree(latest, mile)
+    ckptr = _checkpointer()
+    # force=True: orbax deletes a stale .tmp itself (multi-host-coordinated,
+    # unlike a manual rmtree here)
+    ckptr.save(tmp, payload, force=True)
+    ckptr.wait_until_finished()   # multi-host barrier inside
+    if _is_primary():
+        _swap_into_place(tmp, latest)
+        if is_best:
+            best = _ckpt_path(ckpt_dir, run_name, "best")
+            shutil.copytree(latest, best + ".tmp")
+            _swap_into_place(best + ".tmp", best)
+        if save_freq and epoch % save_freq == 0:
+            mile = _ckpt_path(ckpt_dir, run_name, f"E{epoch}")
+            if not os.path.exists(mile):
+                shutil.copytree(latest, mile)
     return latest
 
 
-def load_checkpoint(path: str, template_state):
+def load_checkpoint(path: str, template_state,
+                    missing_fields: Optional[list] = None):
     """Restore a state pytree saved by ``save_checkpoint``.
 
     Restores structure-free first (the ``extra`` metrics dict varies between
@@ -60,17 +107,21 @@ def load_checkpoint(path: str, template_state):
     Params-only artifacts (e.g. the committed serving checkpoints) restore
     partially: absent top-level fields (optimizer state, queues, rng) keep
     the template's fresh values, so ``mode=resume`` fine-tunes from them.
+    ``missing_fields``: optional out-list collecting those absent top-level
+    field names (callers re-derive what they can — e.g. the semi driver
+    re-bootstraps ``cm`` from the restored weights).
     """
-    import orbax.checkpoint as ocp
     from flax.serialization import from_state_dict, to_state_dict
 
     import logging
 
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     payload = ckptr.restore(os.path.abspath(path))
     saved = payload["state"]
     full = to_state_dict(template_state)
     missing = [k for k in full if k not in saved]
+    if missing_fields is not None:
+        missing_fields.extend(missing)
     if missing:
         # model weights must be complete — a truncated/corrupted params tree
         # silently keeping random-init blocks is never acceptable
@@ -254,11 +305,18 @@ def load_pretrain_encoder(variables, pretrain_path: str,
 
 def discover_checkpoint(run_dir: str, prefer: str = "best") -> str:
     """Locate a checkpoint inside ``<run_dir>/checkpoint``: prefers
-    ``*_ckpt_<prefer>``, else the first entry alphabetically (committed
-    params-only artifact dirs).  Shared by the eval/evidence scripts."""
+    ``*_ckpt_<prefer>``, then ``*_ckpt_latest``, then the NEWEST remaining
+    directory by mtime (an alphabetical fallback would score a stale
+    ``E100`` milestone over ``latest``).  Shared by the eval/evidence
+    scripts."""
     ckdir = os.path.join(run_dir, "checkpoint")
-    cands = ([d for d in os.listdir(ckdir) if d.endswith(f"_ckpt_{prefer}")]
-             or sorted(os.listdir(ckdir)))
+    entries = [d for d in os.listdir(ckdir)
+               if os.path.isdir(os.path.join(ckdir, d))
+               and not d.endswith((".tmp", ".old"))]
+    cands = ([d for d in entries if d.endswith(f"_ckpt_{prefer}")]
+             or [d for d in entries if d.endswith("_ckpt_latest")]
+             or sorted(entries, key=lambda d: os.path.getmtime(
+                 os.path.join(ckdir, d)), reverse=True))
     if not cands:
         raise FileNotFoundError(f"no checkpoints under {ckdir}")
     return os.path.join(ckdir, cands[0])
@@ -268,9 +326,7 @@ def load_variables(path: str):
     """Model variables (params + batch_stats) from a saved checkpoint, no
     state template needed — for export/serving where the optimizer state is
     irrelevant."""
-    import orbax.checkpoint as ocp
-
-    payload = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    payload = _checkpointer().restore(os.path.abspath(path))
     st = payload["state"]
     out = {"params": st["params"]}
     if st.get("batch_stats"):

@@ -92,6 +92,21 @@ def make_device_put(mesh):
     return lambda d: shard_batch(d, mesh)
 
 
+def place_variables(variables, mesh):
+    """Put restored (host-numpy) model variables on device ONCE — tp-sharded
+    under a mesh, plain upload otherwise — so downstream eval_step calls
+    reuse the same buffers instead of re-uploading per batch.  The one
+    placement rule for the eval-only and best-ckpt-test paths."""
+    import jax
+    import jax.numpy as jnp
+
+    if mesh is not None:
+        from ..parallel import shard_state
+
+        return shard_state(variables, mesh)
+    return jax.tree_util.tree_map(jnp.asarray, variables)
+
+
 def cal_mean_feature(cm_step, variables, loader, num_classes, put):
     """Bootstrap pass for the class-mean softmax matrix
     (reference ``train.py:868-897``; the reference's ``logits[target]`` row
@@ -239,15 +254,15 @@ def main(cfg: EasyConfig) -> dict:
         variables, skipped = graft_variables(variables, loaded_vars,
                                              only_subtree=subtree)
         if skipped:
-            missing = [s for s in skipped
-                       if s.endswith("(missing from checkpoint)")]
-            if missing and eval_only:
-                # eval on partially-random weights publishes garbage metrics
-                # — same refusal as load_checkpoint's partial-restore guard
+            # any weight leaf that kept random init — absent from the ckpt,
+            # wrong shape, or a subtree/leaf clash — makes eval metrics
+            # garbage; '(unexpected)' ckpt-side extras are benign
+            bad = [s for s in skipped if not s.endswith("(unexpected)")]
+            if bad and eval_only:
                 raise ValueError(
                     f"checkpoint {pretrained} does not cover the model: "
-                    f"{len(missing)} leaves kept random init "
-                    f"({missing[:5]}{'...' if len(missing) > 5 else ''})")
+                    f"{len(bad)} leaves kept random init "
+                    f"({bad[:5]}{'...' if len(bad) > 5 else ''})")
             logger.warning(f"checkpoint graft skipped {len(skipped)} entries: "
                            f"{skipped[:5]}{'...' if len(skipped) > 5 else ''}")
     elif pretrained and mode not in ("resume",):
@@ -272,12 +287,7 @@ def main(cfg: EasyConfig) -> dict:
         # TEST split; val/eval the val split.
         eval_split = "test" if mode in ("test", "testing") else "val"
         eval_loader = test_loader if eval_split == "test" else val_loader
-        test_vars = variables
-        if mesh is not None:
-            from ..parallel import shard_state
-            test_vars = shard_state(test_vars, mesh)
-        else:
-            test_vars = jax.tree_util.tree_map(jnp.asarray, test_vars)
+        test_vars = place_variables(variables, mesh)
         vote_t = None
         if int(cfg.get("num_votes", 0) or 0) > 0:
             from ..data.transforms import build_transforms_from_cfg
@@ -303,15 +313,9 @@ def main(cfg: EasyConfig) -> dict:
             jax.random.fold_in(rng, 3), teacher_variables=variables,
             contrast_dim=int(cfg.model.segmentor_args.get("trans_dim", 384)))
         semi_step = make_semi_step(model, model_t, t_predictor, tx, t_tx, cfg)
-        if cfg.get("cm_bootstrap", "mean_feature") == "confusion":
-            from .steps import make_confusion_step
-            state = state.replace(cm=cal_confusion(
-                make_confusion_step(model, num_classes), state.variables,
-                train_loader_l, num_classes, put))
-        else:
-            cm_step = make_cm_step(model)
-            state = state.replace(cm=cal_mean_feature(
-                cm_step, state.variables, train_loader_l, num_classes, put))
+        # NOTE: the cm bootstrap runs AFTER the resume branch below — a
+        # params-only resume must compute cm from the RESTORED weights, not
+        # the fresh random init (round-3 review finding)
     else:
         state = TrainState.create(variables, tx)
         semi_step = None
@@ -325,6 +329,7 @@ def main(cfg: EasyConfig) -> dict:
 
     # resume: restore the full state pytree + epoch counter
     # (reference ``resume_checkpoint``, ``openpoints/utils/ckpt_util.py:111``)
+    resume_missing: list = []
     if mode == "resume":
         if not (pretrained and os.path.isdir(str(pretrained))):
             # silently restarting from scratch would overwrite the run's
@@ -333,10 +338,26 @@ def main(cfg: EasyConfig) -> dict:
                 f"mode=resume requires pretrained_path pointing at a "
                 f"checkpoint directory; got {pretrained!r}")
         from .checkpoint import load_checkpoint as _load_state
-        state, ckpt_epoch, extra = _load_state(pretrained, state)
+        state, ckpt_epoch, extra = _load_state(pretrained, state,
+                                               missing_fields=resume_missing)
         start_epoch = int(ckpt_epoch) + 1
         best.update(extra or {})
         logger.info(f"resumed from {pretrained} at epoch {ckpt_epoch}")
+
+    # cm bootstrap (reference ``cal_mean_feature``, ``train.py:276,868``):
+    # from the CURRENT weights — fresh init for mode=train (reference
+    # semantics), restored weights for a params-only resume.  A full-state
+    # resume keeps the restored cm (resume trajectory == uninterrupted).
+    if semi_mode and (mode != "resume" or "cm" in resume_missing):
+        if cfg.get("cm_bootstrap", "mean_feature") == "confusion":
+            from .steps import make_confusion_step
+            state = state.replace(cm=cal_confusion(
+                make_confusion_step(model, num_classes), state.variables,
+                train_loader_l, num_classes, put))
+        else:
+            cm_step = make_cm_step(model)
+            state = state.replace(cm=cal_mean_feature(
+                cm_step, state.variables, train_loader_l, num_classes, put))
 
     if mesh is not None:
         # place params + optimizer moments by the tp rules, replicate the
@@ -425,7 +446,14 @@ def main(cfg: EasyConfig) -> dict:
                             batch_u = next(u_iter)
                         except StopIteration:
                             u_iter = iter(train_loader_u)
-                            batch_u = next(u_iter)
+                            try:
+                                batch_u = next(u_iter)
+                            except StopIteration:
+                                # PEP 479 would surface this as an opaque
+                                # 'generator raised StopIteration'
+                                raise RuntimeError(
+                                    "unlabeled train loader is empty — check "
+                                    "dataset_u config") from None
                         yield batch_l, batch_u
 
                 for dev_l, dev_u in device_prefetch(
@@ -489,7 +517,9 @@ def main(cfg: EasyConfig) -> dict:
                         for ji, v in enumerate(np.ravel(ep_mean[key])):
                             writer.add_scalar(f"{tag}_{ji}", float(v), epoch)
 
-            if epoch % int(cfg.get("val_freq", 250)) == 0 or epoch == int(cfg.epochs):
+            # freq 0/None disables periodic eval (final epoch always runs)
+            val_freq = int(cfg.get("val_freq", 250) or 0)
+            if (val_freq and epoch % val_freq == 0) or epoch == int(cfg.epochs):
                 res = validate(eval_step, state.variables, val_loader, cfg, logger,
                                mesh=mesh)
                 results["val"] = res
@@ -514,7 +544,8 @@ def main(cfg: EasyConfig) -> dict:
                                     additional_dict=best, is_best=is_best,
                                     save_freq=cfg.get("save_freq"))
 
-            if epoch % int(cfg.get("test_freq", 250)) == 0 or epoch == int(cfg.epochs):
+            test_freq = int(cfg.get("test_freq", 250) or 0)
+            if (test_freq and epoch % test_freq == 0) or epoch == int(cfg.epochs):
                 # reference reloads the BEST-val checkpoint before every test
                 # evaluation (``train.py:350-352``) so reported test metrics come
                 # from the best state, not the current one.  Unlike the reference
@@ -526,17 +557,8 @@ def main(cfg: EasyConfig) -> dict:
                     best_path = _ckpt_path(cfg["ckpt_dir"],
                                            cfg.get("run_name", "run"), "best")
                     if os.path.exists(best_path):
-                        test_vars = load_variables(best_path)
-                        # orbax restores host numpy leaves; place them on device
-                        # ONCE here (sharded like the live state under a mesh) so
-                        # every eval_step call below reuses the same device
-                        # buffers instead of re-uploading params per batch.
-                        if mesh is not None:
-                            from ..parallel import shard_state
-                            test_vars = shard_state(test_vars, mesh)
-                        else:
-                            test_vars = jax.tree_util.tree_map(jnp.asarray,
-                                                               test_vars)
+                        test_vars = place_variables(load_variables(best_path),
+                                                    mesh)
                         logger.info(f"test eval on best ckpt (epoch {best['epoch']})")
                 res = validate(eval_step, test_vars, test_loader, cfg, logger,
                                mesh=mesh, tag="test")
@@ -591,7 +613,10 @@ def parse_and_run(argv=None):
     tags = [cfg.task_name, cfg.get("mode", "train"), cfg.cfg_basename,
             f"seed{cfg.seed}"]
     cfg.root_dir = os.path.join(cfg.get("root_dir", "./log"), cfg.task_name)
-    if cfg.get("mode") in ("resume", "test", "val"):
+    # same eval-only spelling set as main(): every eval mode reuses the
+    # checkpoint's run dir instead of generating a fresh experiment dir
+    if cfg.get("mode") in ("resume", "test", "val", "eval", "testing",
+                           "evaluation"):
         resume_exp_directory(cfg, pretrained_path=cfg.get("pretrained_path"))
     else:
         generate_exp_directory(cfg, tags)
