@@ -87,6 +87,13 @@ class DataLoader:
         idx = np.arange(n)
         if self.shuffle:
             idx = np.random.default_rng(self.seed + self.epoch).permutation(n)
+        if self.num_shards > 1 and n % self.num_shards:
+            # pad by wrapping so every shard sees the same count — torch
+            # DistributedSampler semantics (reference ``build.py:107``).
+            # Unequal shard lengths would desync the per-host loop of a
+            # multi-host sharded jit (collective deadlock on the last batch).
+            pad = self.num_shards - n % self.num_shards
+            idx = np.concatenate([idx, idx[:pad]])
         return idx[self.shard_index::self.num_shards]
 
     def __len__(self) -> int:

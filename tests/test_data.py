@@ -399,6 +399,31 @@ def test_two_shard_loader_disjoint_coverage():
     assert indices(0, 1) != indices(0, 2), "shuffle must vary by epoch"
 
 
+def test_uneven_shard_padding_equalizes_lengths():
+    """When len(dataset) % num_shards != 0, shards must wrap-pad to equal
+    length (torch DistributedSampler semantics) — unequal per-host batch
+    counts would deadlock a multi-host sharded step on the last batch."""
+    from geot_tpu.data.build import DataLoader
+
+    class _Tiny:
+        def __len__(self):
+            return 33
+
+        def __getitem__(self, i):
+            return {"pos": np.zeros((4, 3), np.float32)}
+
+    ds = _Tiny()
+    loaders = [DataLoader(ds, batch_size=4, shuffle=True, num_workers=1,
+                          seed=0, num_shards=2, shard_index=s)
+               for s in (0, 1)]
+    for ld in loaders:
+        ld.set_epoch(3)
+    i0, i1 = loaders[0]._epoch_indices(), loaders[1]._epoch_indices()
+    assert len(i0) == len(i1) == 17
+    assert len(loaders[0]) == len(loaders[1])
+    assert set(i0) | set(i1) == set(range(33)), "union still covers"
+
+
 def test_teeth_cls_dataset_payload():
     """TeethClsDataset (reference tooth_dataset.py:510): jaw-id label, pos +
     height feature channel, epoch-varying sampling."""
