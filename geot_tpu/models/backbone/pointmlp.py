@@ -172,6 +172,29 @@ class PointMLPEncoder(nn.Module):
         return jnp.max(x, axis=1)
 
 
+def pointMLP(**kwargs) -> PointMLPEncoder:
+    """Original PointMLP config (reference ``pointmlp.py:461-465``); the
+    torch-only knobs (groups/activation/num_classes) are fixed here."""
+    kwargs.pop("num_classes", None)
+    return PointMLPEncoder(embed_dim=64, res_expansion=1.0, bias=False,
+                           use_xyz=False, normalize="anchor",
+                           dim_expansion=(2, 2, 2, 2), pre_blocks=(2, 2, 2, 2),
+                           pos_blocks=(2, 2, 2, 2),
+                           k_neighbors=(24, 24, 24, 24),
+                           reducers=(2, 2, 2, 2), **kwargs)
+
+
+def pointMLPElite(**kwargs) -> PointMLPEncoder:
+    """Elite (slim) PointMLP config (reference ``pointmlp.py:468-472``)."""
+    kwargs.pop("num_classes", None)
+    return PointMLPEncoder(embed_dim=32, res_expansion=0.25, bias=False,
+                           use_xyz=False, normalize="anchor",
+                           dim_expansion=(2, 2, 2, 1), pre_blocks=(1, 1, 2, 1),
+                           pos_blocks=(1, 1, 2, 1),
+                           k_neighbors=(24, 24, 24, 24),
+                           reducers=(2, 2, 2, 2), **kwargs)
+
+
 @MODELS.register_module(name="PointMLPPartSegmentor")
 class PointMLPPartSegmentor(nn.Module):
     """PointMLP part-segmentation network (reference

@@ -39,7 +39,8 @@ import flax.linen as nn
 from .common import PointBatchNorm
 
 __all__ = ["create_act", "create_norm", "create_convblock1d",
-           "create_convblock2d", "create_linearblock"]
+           "create_convblock2d", "create_linearblock",
+           "CreateResConvBlock2D", "Conv1d", "Conv2d"]
 
 
 _ACT_FNS: dict = {
@@ -215,3 +216,65 @@ def create_linearblock(*args, norm_args=None, act_args=None,
     block in channels-last form)."""
     return _make_block(*args, norm_args=norm_args, act_args=act_args,
                        order=order, dimension="1d", **kwargs)
+
+
+class _PointwiseConv(nn.Module):
+    """Channels-last stand-in for the reference's ``Conv1d``/``Conv2d``
+    wrappers (``conv.py:8-22``): bare torch convs whose kernel size defaults
+    to 1 when only (in, out) are given.  All point-cloud uses are pointwise,
+    so this is a trailing-axis Dense; spatial kernels raise, pointing at
+    ``flax.linen.Conv``."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(self.features, use_bias=self.use_bias,
+                        dtype=self.dtype, name="conv")(x)
+
+
+def _pointwise_conv(in_channels, out_channels=None, kernel_size=1, *,
+                    bias=True, dtype=None, **kwargs):
+    if out_channels is None:
+        out_channels = in_channels
+    if kernel_size not in (1, (1,), (1, 1)):
+        raise NotImplementedError(
+            "spatial kernels have no (B, N, C) meaning — use flax nn.Conv")
+    if kwargs:
+        raise TypeError(f"unsupported conv kwargs: {sorted(kwargs)}")
+    return _PointwiseConv(features=out_channels, use_bias=bias, dtype=dtype)
+
+
+# reference ``conv.py:8-22``: Conv2d/Conv1d(in, out) default to kernel 1
+Conv1d = _pointwise_conv
+Conv2d = _pointwise_conv
+
+
+class CreateResConvBlock2D(nn.Module):
+    """Residual stack of 2d conv blocks (reference ``conv.py:149-167``):
+    ``mlps[i] -> mlps[i+1]`` blocks with act for i < len-2, a final block
+    WITHOUT activation, then ``act(convs(x) + (res or x))``."""
+
+    mlps: Any                      # sequence of channel widths
+    norm_args: Any = None
+    act_args: Any = None
+    order: str = "conv-norm-act"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, res=None, training: bool = False):
+        mlps = list(self.mlps)
+        y = x
+        for i in range(len(mlps) - 2):
+            y = create_convblock2d(mlps[i], mlps[i + 1],
+                                   norm_args=self.norm_args,
+                                   act_args=self.act_args, order=self.order,
+                                   dtype=self.dtype)(y, training=training)
+        y = create_convblock2d(mlps[-2], mlps[-1], norm_args=self.norm_args,
+                               act_args=None, dtype=self.dtype)(
+            y, training=training)
+        act = create_act(self.act_args)
+        out = y + (x if res is None else res)
+        return act(out) if act is not None else out

@@ -37,3 +37,13 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     if idx.ndim == 2:
         return gather_points(points, idx)
     return grouping_operation(points, idx)
+
+
+def torch_grouping_operation(features: jnp.ndarray,
+                             idx: jnp.ndarray) -> jnp.ndarray:
+    """Channels-FIRST grouping kept verbatim for API parity
+    (reference ``openpoints/models/layers/group.py:120``, exported at
+    ``layers/__init__.py:10``): features (B, C, N), idx (B, M, K)
+    -> (B, C, M, K)."""
+    out = grouping_operation(jnp.swapaxes(features, 1, 2), idx)  # (B,M,K,C)
+    return jnp.transpose(out, (0, 3, 1, 2))
