@@ -75,6 +75,10 @@ def contrast_loss_t(state: ContrastState, rng, feat_s, score, feat_t,
     logits = logits - logits_max
 
     bank = (anchors @ state.queue.T) / temperature                  # (M, Q)
+    # the bank logits get their OWN max shift, distinct from the in-batch
+    # shift above — bug-compatible with the reference, which also mixes the
+    # two exp scales (``_ppc_contrastive_andbank``: separate ``logits_max``
+    # and ``logits_max_neg`` detached shifts before one shared denominator)
     bank_max = jax.lax.stop_gradient(jnp.max(bank, axis=1, keepdims=True))
     bank = bank - bank_max
 
