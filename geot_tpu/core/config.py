@@ -112,3 +112,16 @@ class EasyConfig(dict):
                 lines[k + 1] = "  " + line
             texts.extend(lines)
         return "\n".join(texts)
+
+
+def print_args(args, printer=None):
+    """Log every attribute of an argparse namespace / EasyConfig
+    (reference ``openpoints/utils/config.py:11-15``)."""
+    import logging
+
+    printer = printer or logging.info
+    printer("==========       args      =============")
+    items = args.items() if isinstance(args, dict) else args.__dict__.items()
+    for arg, content in items:
+        printer("{}:{}".format(arg, content))
+    printer("==========     args END    =============")

@@ -197,3 +197,19 @@ def cal_model_parm_nums(params) -> int:
     import jax
 
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def cal_model_parm_nums_separate(params):
+    """(total, encoder, generator, decoder) parameter counts, matching the
+    reference's name-substring split (``openpoints/utils/ckpt_util.py:17-22``)
+    over a flax params pytree."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def count(pred):
+        return sum(int(np.prod(p.shape)) for path, p in flat
+                   if pred("/".join(getattr(k, "key", str(k)) for k in path)))
+
+    return (count(lambda n: True), count(lambda n: "encoder" in n),
+            count(lambda n: "generator" in n), count(lambda n: "decoder" in n))

@@ -506,3 +506,108 @@ def convert_cli(argv=None):
     print(f"converted {args.pth} -> {out} ({n / 1e6:.3f} M params"
           f"{', batch_stats' if stats else ''})")
     return out
+
+
+# --------------------------------------------------------------------------
+# reference ckpt_util public-surface parity (``openpoints/utils/ckpt_util.py``)
+# --------------------------------------------------------------------------
+
+
+def resume_model(state, cfg=None, pretrained_path: Optional[str] = None):
+    """Restore ONLY the model weights (params + batch_stats) from a checkpoint
+    into ``state`` (reference ``resume_model``, ``ckpt_util.py:25-52``: loads
+    the model state_dict and returns the bookmarked epoch/metrics).
+
+    Returns ``(state, epoch, extra)``; a missing path logs and returns the
+    state unchanged with epoch 0, like the reference."""
+    import logging
+
+    if pretrained_path is None and cfg is not None:
+        pretrained_path = _ckpt_path(cfg["ckpt_dir"],
+                                     cfg.get("run_name", "run"), "latest")
+    if not (pretrained_path and os.path.exists(str(pretrained_path))):
+        logging.info(f"[RESUME INFO] no checkpoint file from path "
+                     f"{pretrained_path}...")
+        return state, 0, {}
+    loaded = load_variables(pretrained_path)
+    new = state.replace(params=loaded["params"],
+                        **({"batch_stats": loaded["batch_stats"]}
+                           if "batch_stats" in loaded
+                           and hasattr(state, "batch_stats") else {}))
+    payload = _checkpointer().restore(os.path.abspath(str(pretrained_path)))
+    return new, payload.get("epoch", 0), payload.get("extra", {})
+
+
+def resume_optimizer(state, cfg=None, pretrained_path: Optional[str] = None):
+    """Restore ONLY the optimizer state from a checkpoint into ``state``
+    (reference ``resume_optimizer``, ``ckpt_util.py:55-75``)."""
+    import logging
+
+    from flax.serialization import from_state_dict, to_state_dict
+
+    if pretrained_path is None and cfg is not None:
+        pretrained_path = _ckpt_path(cfg["ckpt_dir"],
+                                     cfg.get("run_name", "run"), "latest")
+    if not (pretrained_path and os.path.exists(str(pretrained_path))):
+        logging.info(f"[RESUME INFO] no checkpoint file from path "
+                     f"{pretrained_path}...")
+        return state, 0, {}
+    payload = _checkpointer().restore(os.path.abspath(str(pretrained_path)))
+    saved = payload["state"]
+    if "opt_state" not in saved:
+        logging.warning(f"checkpoint {pretrained_path} carries no optimizer "
+                        f"state (params-only artifact) — state unchanged")
+        return state, payload.get("epoch", 0), payload.get("extra", {})
+    sd = to_state_dict(state)
+    sd["opt_state"] = saved["opt_state"]
+    return (from_state_dict(state, sd), payload.get("epoch", 0),
+            payload.get("extra", {}))
+
+
+def _group_checkpoint_keys(keys):
+    """Group dotted keys by their prefix up to the final '.'
+    (reference ``ckpt_util.py:293-310``)."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for key in keys:
+        pos = key.rfind(".")
+        if pos >= 0:
+            head, tail = key[:pos], [key[pos + 1:]]
+        else:
+            head, tail = key, []
+        groups[head].extend(tail)
+    return groups
+
+
+def _group_to_str(group) -> str:
+    """Reference ``ckpt_util.py:313-327``."""
+    if len(group) == 0:
+        return ""
+    if len(group) == 1:
+        return "." + group[0]
+    return ".{" + ", ".join(group) + "}"
+
+
+def get_missing_parameters_message(keys) -> str:
+    """Loggable report of model keys absent from a checkpoint
+    (reference ``ckpt_util.py:225-238``; the termcolor wrapping is dropped —
+    the rebuild's logger colorises levels itself)."""
+    groups = _group_checkpoint_keys(keys)
+    return ("Some model parameters or buffers are not found in the "
+            "checkpoint:\n" + "\n".join(
+                "  " + k + _group_to_str(v) for k, v in groups.items()))
+
+
+def get_unexpected_parameters_message(keys) -> str:
+    """Loggable report of checkpoint keys the model does not use
+    (reference ``ckpt_util.py:240-255``)."""
+    groups = _group_checkpoint_keys(keys)
+    return ("The checkpoint state_dict contains keys that are not used by "
+            "the model:\n" + "\n".join(
+                "  " + k + _group_to_str(v) for k, v in groups.items()))
+
+
+# reference name for the full-state resume (``ckpt_util.py:111``); the JAX
+# signature is (path, template_state) -> (state, epoch, extra)
+resume_checkpoint = load_checkpoint
