@@ -365,3 +365,31 @@ def PointMLP(**kwargs):
     max-pool handled by BaseCls; alias to the encoder for registry parity."""
     fields = PointMLPEncoder.__dataclass_fields__
     return PointMLPEncoder(**{k: v for k, v in kwargs.items() if k in fields})
+
+
+def get_activation(activation: str):
+    """Activation-by-name helper with the reference's pointMLP spellings
+    (reference ``backbone/pointmlp.py:28-50``); returns a jax callable."""
+    name = activation.lower()
+    table = {"gelu": lambda x: jax.nn.gelu(x, approximate=False),
+             "rrelu": jax.nn.leaky_relu,   # eval-mode RReLU == fixed slope
+             "selu": jax.nn.selu, "silu": jax.nn.silu,
+             "hardswish": jax.nn.hard_swish, "relu": jax.nn.relu,
+             "leakyrelu": jax.nn.leaky_relu,
+             "leakyrelu0.2": lambda x: jax.nn.leaky_relu(x, 0.2)}
+    if name not in table:
+        raise ValueError(f"activation {activation} unsupported "
+                         f"(known: {sorted(table)})")
+    return table[name]
+
+
+def query_ball_point(radius, nsample, xyz, new_xyz):
+    """Reference-name wrapper (``backbone/pointmlp.py:61-81``) over
+    ``ops.ball_query``: returns grouped indices (B, S, nsample)."""
+    from ...ops import ball_query
+
+    return ball_query(radius, nsample, xyz, new_xyz)
+
+
+# reference spelling (``pointmlp.py:53``: its local torch farthest_point_sample)
+ConvBNReLU1D = ConvBNReLU

@@ -86,6 +86,31 @@ class PointNetFPModule(nn.Module):
         return SharedMLP(self.mlp, name="convs")(interp, training=training)
 
 
+# reference-name aliases: top-level ``pointnet2.pointnet2_modules`` spellings
+# (``pointnet2_modules.py:24,582``) and the pointnet2-package FP name
+PointnetSAModuleMSG = PointNetSAModuleMSG
+PointnetFPModule = PointNetFPModule
+PointNetFeaturePropagation = PointNetFPModule
+
+
+def PointnetSAModule(mlp, npoint=None, radius=None, nsample=None,
+                     stride: int | None = None, **kwargs):
+    """Single-scale SA module (reference ``pointnet2_modules.py:24-56``) —
+    the MSG module with one (radius, nsample, mlp) scale.  ``npoint`` is the
+    reference's absolute output size; under fixed input sizes the flax module
+    takes the equivalent ``stride`` (pass it directly, or ``npoint`` together
+    with the known input size via ``stride = N // npoint``)."""
+    if stride is None:
+        if npoint is not None:
+            raise ValueError(
+                "npoint is an absolute output size; the shape-agnostic flax "
+                "module needs the ratio — pass stride=N // npoint instead")
+        stride = 1
+    return PointNetSAModuleMSG(stride=stride, radii=[radius],
+                               nsamples=[nsample], channel_list=[list(mlp)],
+                               **kwargs)
+
+
 @MODELS.register_module(name="PointNet2Encoder")
 class PointNet2Encoder(nn.Module):
     """Hierarchical encoder (reference ``pointnetv2.py:150-348``).

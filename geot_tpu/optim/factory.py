@@ -403,3 +403,70 @@ def set_learning_rate(opt_state, lr_value: float):
     inner.hyperparams["lr_value"] = jax.numpy.asarray(lr_value,
                                                       dtype=jax.numpy.float32)
     return opt_state
+
+
+def add_weight_decay(params, weight_decay: float = 1e-5, skip_list=()):
+    """Reference ``optim_factory.py:123-135``: split params into no-decay
+    (rank-1 / bias / skip-listed) and decay groups.  JAX form: returns the
+    boolean decay MASK pytree (True = decayed) usable as the ``mask`` of any
+    optax decay transform, which is how the factory consumes the reference's
+    two param groups."""
+    import jax
+
+    def decays(path, p):
+        name = "/".join(getattr(k, "key", str(k)) for k in path)
+        if p.ndim <= 1 or name.endswith("bias") or any(
+                s in name for s in skip_list):
+            return False
+        return True
+
+    del weight_decay  # the mask is weight-decay-agnostic; kept for signature
+    return jax.tree_util.tree_map_with_path(decays, params)
+
+
+def get_parameter_groups(params, weight_decay: float = 1e-5, skip_list=(),
+                         get_num_layer=None, get_layer_scale=None):
+    """Reference ``optim_factory.py:66-120``: name -> group assignment with
+    optional per-layer lr scales.  JAX form: returns ``{group_name:
+    {"weight_decay": float, "lr_scale": float, "names": [leaf paths]}}`` —
+    the diagnostic view of what ``add_weight_decay`` + ``layer_decay_scale``
+    apply inside the optax chain."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    groups: Dict[str, Dict] = {}
+    for path, p in flat:
+        name = "/".join(getattr(k, "key", str(k)) for k in path)
+        if p.ndim <= 1 or name.endswith("bias") or any(
+                s in name for s in skip_list):
+            gname, wd = "no_decay", 0.0
+        else:
+            gname, wd = "decay", weight_decay
+        scale = 1.0
+        if get_num_layer is not None:
+            lid = get_num_layer(name)
+            gname = f"layer_{lid}_{gname}"
+            if get_layer_scale is not None:
+                scale = get_layer_scale(lid)
+        g = groups.setdefault(gname, {"weight_decay": wd, "lr_scale": scale,
+                                      "names": []})
+        g["names"].append(name)
+    return groups
+
+
+def optimizer_kwargs(cfg):
+    """cfg/argparse -> ``build_optimizer_from_cfg`` kwargs
+    (reference ``optim_factory.py:138-152``)."""
+    get = (cfg.get if isinstance(cfg, dict)
+           else lambda k, d=None: getattr(cfg, k, d))
+    kwargs = dict(NAME=get("opt", get("NAME", "adamw")), lr=get("lr"),
+                  weight_decay=get("weight_decay", 0.0))
+    if get("momentum") is not None:
+        kwargs["momentum"] = get("momentum")
+    if get("opt_eps") is not None:
+        kwargs["eps"] = get("opt_eps")
+    if get("opt_betas") is not None:
+        kwargs["betas"] = get("opt_betas")
+    if get("layer_decay") is not None:
+        kwargs["layer_decay"] = get("layer_decay")
+    return kwargs

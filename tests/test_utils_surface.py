@@ -102,3 +102,53 @@ def test_resume_model_and_optimizer_roundtrip(tmp_path):
     same, epoch0, _ = resume_model(fresh, None,
                                    pretrained_path=str(tmp_path / "nope"))
     assert epoch0 == 0 and same is fresh
+
+
+def test_optim_factory_helpers():
+    from geot_tpu.optim.factory import (add_weight_decay, get_parameter_groups,
+                                        optimizer_kwargs)
+
+    params = {"dense": {"kernel": jnp.zeros((3, 4)), "bias": jnp.zeros((4,))},
+              "bn": {"scale": jnp.zeros((4,))}}
+    mask = add_weight_decay(params, 1e-4)
+    assert mask["dense"]["kernel"] is True
+    assert mask["dense"]["bias"] is False and mask["bn"]["scale"] is False
+    groups = get_parameter_groups(params, weight_decay=0.05)
+    assert set(groups) == {"decay", "no_decay"}
+    assert groups["decay"]["weight_decay"] == 0.05
+    assert "dense/kernel" in groups["decay"]["names"]
+    kw = optimizer_kwargs({"opt": "sgd", "lr": 0.1, "weight_decay": 1e-4,
+                           "momentum": 0.9, "opt_eps": 1e-8})
+    assert kw["NAME"] == "sgd" and kw["eps"] == 1e-8 and kw["momentum"] == 0.9
+
+
+def test_pointnet2_module_aliases():
+    from geot_tpu.models.backbone.pointnetv2 import (
+        PointnetSAModule, PointnetSAModuleMSG, PointnetFPModule,
+        PointNetFeaturePropagation, PointNetSAModuleMSG, PointNetFPModule)
+
+    assert PointnetSAModuleMSG is PointNetSAModuleMSG
+    assert PointnetFPModule is PointNetFPModule
+    assert PointNetFeaturePropagation is PointNetFPModule
+    m = PointnetSAModule(mlp=[3, 16], radius=0.4, nsample=8, stride=2)
+    xyz = jnp.asarray(np.random.default_rng(0).standard_normal((2, 32, 3)),
+                      jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), xyz, xyz)
+    (q, f), _ = m.apply(v, xyz, xyz, training=True, mutable=["batch_stats"])
+    assert q.shape == (2, 16, 3) and f.shape[1] == 16
+    with pytest.raises(ValueError):
+        PointnetSAModule(mlp=[3, 16], radius=0.4, nsample=8, npoint=512)
+
+
+def test_pointmlp_helpers():
+    from geot_tpu.models.backbone.pointmlp import (ConvBNReLU, ConvBNReLU1D,
+                                                   get_activation,
+                                                   query_ball_point)
+
+    assert ConvBNReLU1D is ConvBNReLU
+    act = get_activation("LeakyReLU0.2")
+    np.testing.assert_allclose(float(act(jnp.asarray(-1.0))), -0.2, rtol=1e-6)
+    xyz = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 3)),
+                      jnp.float32)
+    idx = query_ball_point(0.5, 8, xyz, xyz[:, :16])
+    assert idx.shape == (1, 16, 8)
