@@ -53,12 +53,29 @@ def _needs_hessian(cfg) -> bool:
     return "adahessian" in name
 
 
+def _select_tree(pred, new, old):
+    """Leafwise ``where(pred, new, old)`` over two same-structure pytrees."""
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(pred, n, o), new, old)
+
+
+def _finite_guard(loss, *grad_trees):
+    """True when the loss and every gradient are finite — the gate for
+    ``skip_nonfinite_updates`` (production hardening beyond the reference,
+    which has no overflow protection: one NaN batch poisons the run)."""
+    ok = jnp.isfinite(loss)
+    for g in grad_trees:
+        ok = ok & jnp.isfinite(optax.global_norm(g))
+    return ok
+
+
 def make_supervised_step(model, tx, cfg) -> Callable:
     """Supervised warm-up step (reference ``train.py:439-457``)."""
     criterion = build_criterion_from_cfg(cfg["criterion_args"])
     criterion_name = cfg["criterion_args"]["NAME"]
     clip = cfg.get("grad_norm_clip")
     needs_hessian = _needs_hessian(cfg)
+    skip_nonfinite = bool(cfg.get("skip_nonfinite_updates", False))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, lr):
@@ -91,10 +108,23 @@ def make_supervised_step(model, tx, cfg) -> Callable:
         opt_state = set_learning_rate(state.opt_state, lr)
         updates, opt_state = tx.update(grads, opt_state, state.params, **extra)
         params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "sup_loss": loss,
+                   "unsup_loss": jnp.zeros(())}
+        if skip_nonfinite:
+            # skip the whole update on a non-finite loss/gradient: params,
+            # optimizer state AND batch stats keep their previous values
+            # (the poisoned forward also poisons the running stats); the
+            # step counter still advances so the PRNG stream moves on
+            ok = _finite_guard(loss, grads)
+            params = _select_tree(ok, params, state.params)
+            opt_state = _select_tree(ok, opt_state, state.opt_state)
+            new_bs = _select_tree(ok, new_bs, state.batch_stats)
+            metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
+            metrics["loss"] = jnp.where(ok, loss, 0.0)
+            metrics["sup_loss"] = metrics["loss"]
         new_state = state.replace(params=params, batch_stats=new_bs,
                                   opt_state=opt_state, step=state.step + 1)
-        return new_state, {"loss": loss, "sup_loss": loss,
-                           "unsup_loss": jnp.zeros(())}
+        return new_state, metrics
 
     return step
 
@@ -138,6 +168,7 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
 
     b_l = int(cfg["batch_size_l"])
     b_u = int(cfg["batch_size_u"])
+    skip_nonfinite = bool(cfg.get("skip_nonfinite_updates", False))
 
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
     def step(state: SemiTrainState, batch_l, batch_u, lr, use_teacher: bool):
@@ -308,6 +339,24 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
                                              **t_extra)
         t_params = optax.apply_updates(state.t_params, t_updates)
 
+        skipped = jnp.zeros(())
+        if skip_nonfinite:
+            # skip the whole update when the loss or any gradient is
+            # non-finite: weights, both optimizers, batch stats AND the EMA
+            # side-state (ema_t / contrast queue) keep their previous values
+            # — one overflowing batch cannot poison the run (production
+            # hardening beyond the reference)
+            ok = _finite_guard(loss, g_model, g_t)
+            params = _select_tree(ok, params, state.params)
+            opt_state = _select_tree(ok, opt_state, state.opt_state)
+            t_params = _select_tree(ok, t_params, state.t_params)
+            t_opt_state = _select_tree(ok, t_opt_state, state.t_opt_state)
+            aux["new_bs"] = _select_tree(ok, aux["new_bs"], state.batch_stats)
+            aux["ema_t"] = _select_tree(ok, aux["ema_t"], state.ema_t)
+            aux["contrast"] = _select_tree(ok, aux["contrast"], state.contrast)
+            skipped = 1.0 - ok.astype(jnp.float32)
+            loss = jnp.where(ok, loss, 0.0)
+
         # --- diagnostics (reference ``train.py:607-644``) -------------------
         target_u = batch_u["y"].reshape(aux["pseudo"].shape)
         stats = pseudo_stats(aux["pseudo"], target_u, aux["conf"], threshold,
@@ -319,6 +368,8 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
 
         metrics = {"loss": loss, "sup_loss": aux["sup_loss"],
                    "unsup_loss": aux["unsup_loss"], **stats}
+        if skip_nonfinite:
+            metrics["skipped"] = skipped
         for k in ("feat_loss", "identity_loss", "threed_loss", "contrast_loss"):
             if k in aux:
                 metrics[k] = aux[k]

@@ -507,6 +507,12 @@ def main(cfg: EasyConfig) -> dict:
                         f"sup={meters['sup_loss'].avg:.5f} "
                         f"unsup={meters['unsup_loss'].avg:.5f} "
                         f"({time.time() - t0:.1f}s)")
+            if float(ep_mean.get("skipped", 0.0)) > 0:
+                n_skip = round(float(ep_mean["skipped"]) * ep_n)
+                logger.warning(f"epoch {epoch}: {n_skip}/{ep_n} steps skipped "
+                               f"(non-finite loss/gradients)")
+                if writer:
+                    writer.add_scalar("skipped_steps", n_skip, epoch)
             if writer:
                 writer.add_scalar("lr", float(lr), epoch)
                 for tag, key in ref_tags.items():
