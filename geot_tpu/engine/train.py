@@ -418,8 +418,20 @@ def main(cfg: EasyConfig) -> dict:
     except ValueError:
         pass  # not the main thread (in-process test harnesses)
 
+    # in-run device profiling: ``profile_epoch: N`` captures a perfetto/TB
+    # trace of epoch N into <run_dir>/trace (observability beyond the
+    # reference, which has only tqdm bars — SURVEY §5)
+    profile_epoch = int(cfg.get("profile_epoch", 0) or 0)
+
     try:
         for epoch in range(start_epoch, int(cfg.epochs) + 1):
+            profiling = profile_epoch == epoch
+            if profiling:
+                trace_dir = os.path.join(cfg.get("run_dir") or ".", "trace")
+                os.makedirs(trace_dir, exist_ok=True)
+                jax.profiler.start_trace(trace_dir,
+                                         create_perfetto_trace=True)
+                logger.info(f"profiling epoch {epoch} -> {trace_dir}")
             train_loader_l.set_epoch(epoch)
             lr = jnp.asarray(schedule(epoch), dtype=jnp.float32)
             # metric accumulation stays ON DEVICE for the whole epoch: any
@@ -498,6 +510,11 @@ def main(cfg: EasyConfig) -> dict:
             # single D2H sync per epoch for all scalar + per-class metrics
             ep_mean = {k: np.asarray(v, dtype=np.float64) / max(ep_n, 1)
                        for k, v in jax.device_get(ep_dev).items()} if ep_n else {}
+            if profiling:
+                # the device_get above is the epoch's barrier, so the trace
+                # has the complete device timeline (an exception mid-epoch
+                # leaves the trace open — the process is terminating anyway)
+                jax.profiler.stop_trace()
             meters = {k: AverageMeter() for k in ("loss", "sup_loss", "unsup_loss")}
             for k in meters:
                 meters[k].update(float(ep_mean.get(k, float("nan"))))

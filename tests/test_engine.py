@@ -199,3 +199,26 @@ def test_device_prefetch_preserves_order_and_coverage():
         [i * 10 for i in range(5)]
     # empty iterator: no hang, no items
     assert list(device_prefetch(iter(()), slow_put)) == []
+
+
+class TestProfileEpoch:
+    @pytest.mark.slow
+    def test_profile_epoch_writes_trace(self, tmp_path):
+        """`profile_epoch: N` captures a device trace of epoch N into
+        <run_dir>/trace (observability beyond the reference)."""
+        from geot_tpu.engine.train import main
+
+        cfg = EasyConfig()
+        cfg.load(os.path.join(os.path.dirname(__file__), "..",
+                              "cfgs", "tooth_semi", "smoke.yaml"),
+                 recursive=True)
+        cfg.run_dir = str(tmp_path / "run")
+        cfg.ckpt_dir = str(tmp_path / "run" / "checkpoint")
+        cfg.run_name = "smoke_profile"
+        cfg.profile_epoch = 1
+        os.makedirs(cfg.ckpt_dir, exist_ok=True)
+        main(cfg)
+        trace_dir = tmp_path / "run" / "trace"
+        assert trace_dir.is_dir()
+        files = [p for p in trace_dir.rglob("*") if p.is_file()]
+        assert files, "profile_epoch must write trace files"
