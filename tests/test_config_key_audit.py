@@ -73,3 +73,19 @@ def test_no_stale_classifications():
     keys = _chain_keys()
     stale = (DEAD_IN_REFERENCE - keys)
     assert not stale, f"DEAD_IN_REFERENCE lists keys absent from cfgs: {stale}"
+
+
+def test_fast_variant_is_flagship_plus_flags():
+    """transformer_finetune_fixmatch_ntm_fast.yaml must stay key-identical to
+    the flagship except the two serving-topology flags."""
+    with open(os.path.join(CFG_DIR,
+                           "transformer_finetune_fixmatch_ntm.yaml")) as f:
+        base = yaml.safe_load(f)
+    with open(os.path.join(CFG_DIR,
+                           "transformer_finetune_fixmatch_ntm_fast.yaml")) as f:
+        fast = yaml.safe_load(f)
+    seg = dict(fast["model"]["segmentor_args"])
+    assert seg.pop("fast_pyramid") == 1024
+    assert seg.pop("fast_graph") is True
+    fast["model"] = dict(fast["model"], segmentor_args=seg)
+    assert fast == base, "fast variant drifted from the flagship config"
