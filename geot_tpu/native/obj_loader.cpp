@@ -75,16 +75,30 @@ long obj_load_vertices(const char* path, float* out, long capacity) {
   const char* p = m.data;
   const char* end = m.data + m.size;
   while (p < end - 1) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
     if (vertex_line(p, m.data) && count < capacity) {
-      char* cursor = const_cast<char*>(p + 2);
+      char* cursor;
+      char tail[256];
+      if (nl == nullptr) {
+        // final line with no trailing newline: the mapping is not
+        // NUL-terminated, and when the file size is an exact page multiple
+        // strtof would scan past the mapping (SIGSEGV). Parse a bounded,
+        // NUL-terminated copy instead.
+        size_t len = static_cast<size_t>(end - (p + 2));
+        if (len > sizeof(tail) - 1) len = sizeof(tail) - 1;
+        memcpy(tail, p + 2, len);
+        tail[len] = '\0';
+        cursor = tail;
+      } else {
+        cursor = const_cast<char*>(p + 2);
+      }
       out[count * 3 + 0] = strtof(cursor, &cursor);
       out[count * 3 + 1] = strtof(cursor, &cursor);
       out[count * 3 + 2] = strtof(cursor, &cursor);
       ++count;
     }
-    p = static_cast<const char*>(memchr(p, '\n', end - p));
-    if (!p) break;
-    ++p;
+    if (!nl) break;
+    p = nl + 1;
   }
   return count;
 }

@@ -160,6 +160,27 @@ class TestNativeIO:
         finally:
             os.unlink(path)
 
+    def test_obj_no_trailing_newline_page_multiple(self):
+        # regression: a vertex line at EOF with no trailing newline, on a file
+        # whose size is an exact page multiple — strtof used to scan past the
+        # mmap'd region (potential SIGSEGV); now the tail line is parsed from
+        # a bounded NUL-terminated copy
+        last = "v 7.5 -2.25 0.125"          # 17 bytes, no newline
+        page = 4096
+        pad = page - (len(last) % page)
+        body = "# " + "x" * (pad - 3) + "\n"  # comment line sized to align
+        with tempfile.NamedTemporaryFile("w", suffix=".obj",
+                                         delete=False) as f:
+            f.write(body + last)
+            path = f.name
+        try:
+            assert os.path.getsize(path) % page == 0
+            loaded = load_obj_vertices(path)
+            assert loaded.shape == (1, 3)
+            np.testing.assert_allclose(loaded[0], [7.5, -2.25, 0.125])
+        finally:
+            os.unlink(path)
+
     def test_native_grid_subsample_matches_numpy(self, rng):
         from geot_tpu.native import grid_subsample_native
         from geot_tpu.ops import grid_subsample
