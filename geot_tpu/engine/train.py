@@ -645,7 +645,14 @@ def parse_and_run(argv=None):
         generate_exp_directory(cfg, tags)
     import yaml
 
-    with open(os.path.join(cfg.run_dir, "cfg.yaml"), "w") as f:
+    # eval-only invocations reuse the training run dir — they must not
+    # clobber its cfg.yaml (the run's provenance, possibly with different
+    # model flags than this eval's overrides); write cfg_<mode>.yaml instead
+    cfg_name = "cfg.yaml"
+    if (cfg.get("mode") in ("test", "val", "eval", "testing", "evaluation")
+            and os.path.exists(os.path.join(cfg.run_dir, "cfg.yaml"))):
+        cfg_name = f"cfg_{cfg['mode']}.yaml"
+    with open(os.path.join(cfg.run_dir, cfg_name), "w") as f:
         yaml.dump(cfg.dict(), f, indent=2)
     if cfg.get("model") and "generator_args" in cfg.model:
         # generation-stack configs (TAP pretraining) run the pretrain driver

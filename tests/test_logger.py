@@ -68,3 +68,30 @@ def test_parse_and_run_builds_cfg(tmp_path, monkeypatch):
     assert cfg.task_name == "tooth_semi"
     assert cfg.cfg_basename == "smoke"
     assert os.path.exists(os.path.join(cfg.run_dir, "cfg.yaml"))
+
+
+def test_parse_and_run_eval_keeps_run_cfg(tmp_path, monkeypatch):
+    """Eval-only invocations reuse the training run dir and must NOT clobber
+    its cfg.yaml (the run's provenance — an eval with different model
+    overrides used to overwrite it); they write cfg_<mode>.yaml instead."""
+    import geot_tpu.engine.train as T
+
+    monkeypatch.setattr(T, "main", lambda cfg: {})
+    monkeypatch.chdir(tmp_path)
+    smoke = os.path.join(os.path.dirname(__file__), "..", "cfgs",
+                         "tooth_semi", "smoke.yaml")
+    captured = {}
+    monkeypatch.setattr(T, "main",
+                        lambda cfg: captured.update(cfg=cfg) or {})
+    T.parse_and_run(["--cfg", smoke, "seed=5"])
+    run_dir = captured["cfg"].run_dir
+    original = open(os.path.join(run_dir, "cfg.yaml")).read()
+    ckpt = os.path.join(captured["cfg"].ckpt_dir, "exp_ckpt_latest")
+    os.makedirs(ckpt, exist_ok=True)
+
+    T.parse_and_run(["--cfg", smoke, "mode=test", "lr=9.0",
+                     f"pretrained_path={ckpt}"])
+    assert (os.path.abspath(captured["cfg"].run_dir)
+            == os.path.abspath(run_dir))           # reused, not regenerated
+    assert open(os.path.join(run_dir, "cfg.yaml")).read() == original
+    assert os.path.exists(os.path.join(run_dir, "cfg_test.yaml"))
