@@ -52,9 +52,19 @@ def main():
 
     argv = sys.argv[1:]
     votes = 0
-    if argv[:1] == ["--votes"]:
-        votes = int(argv[1])
-        argv = argv[2:]
+    exact = False
+    while argv and argv[0].startswith("--"):
+        if argv[0] == "--votes":
+            votes = int(argv[1])
+            argv = argv[2:]
+        elif argv[0] == "--exact":
+            # evaluate every member and ensemble in the EXACT topology (no
+            # fast_pyramid/fast_graph) — the all-fast artifacts are
+            # topology-robust, so this measures the exact-mode ensemble
+            exact = True
+            argv = argv[1:]
+        else:
+            raise SystemExit(f"unknown flag {argv[0]}")
     ckpts = ({os.path.basename(p.rstrip("/")): p for p in argv}
              if argv else {k: os.path.join(REPO, v)
                            for k, v in DEFAULT_CKPTS.items()})
@@ -63,6 +73,9 @@ def main():
     cfg.load(os.path.join(REPO, CFG_RUN, "cfg.yaml"))
     seg = dict(cfg.model.segmentor_args)
     seg.pop("pretrained_path", None)
+    if exact:
+        seg.pop("fast_pyramid", None)
+        seg.pop("fast_graph", None)
     model = build_model_from_cfg({"NAME": "WholePartSeg",
                                   "segmentor_args": seg})
     base_step = make_eval_step(model)
@@ -84,7 +97,8 @@ def main():
               if votes else None)
 
     members = {name: load_variables(p) for name, p in ckpts.items()}
-    res = {"checkpoints": ckpts, "votes": votes, "members": {},
+    res = {"checkpoints": ckpts, "votes": votes,
+           "topology": "exact" if exact else "fast", "members": {},
            "ensembles": {}}
     for name, v in members.items():
         m = validate(base_step, v, val_loader, cfg)
@@ -103,7 +117,8 @@ def main():
         res["ensembles"][tag] = {k2: round(float(x), 4) for k2, x in m.items()}
         print(tag, res["ensembles"][tag])
 
-    out = os.path.join(REPO, "log", "ensemble_eval.json")
+    out = os.path.join(REPO, "log", "ensemble_eval_exact.json" if exact
+                       else "ensemble_eval.json")
     with open(out, "w") as f:
         json.dump(res, f, indent=2)
     best = max(res["ensembles"].values(), key=lambda d: d["whole_miou"])
