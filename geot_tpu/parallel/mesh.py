@@ -10,6 +10,13 @@ step over a ``Mesh``, with
   batch, which IS SyncBN semantics);
 - **tp**: attention qkv/proj and MLP fc1/fc2 kernels sharded column/row-wise
   (Megatron layout) -> XLA inserts the psums on ICI.
+- **sp**: the POINT axis (axis 1 of every ``(B, N, ...)`` batch array)
+  sharded -> the dense per-point stages (edge convs, FP MLPs, seg head — the
+  FLOP bulk at 16k points) compute on N/sp points per device, and GSPMD
+  all-gathers around the cross-point neighbour ops (FPS/kNN).  This is the
+  sequence-parallel analogue for point clouds: a memory/compute scaling axis
+  for clouds (or batches) too big for one chip, not a latency win at the
+  flagship 16k serving point.
 
 ``shard_state``/``shard_batch`` place an existing pytree accordingly.
 """
@@ -23,13 +30,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(devices=None, dp: int | None = None, tp: int = 1) -> Mesh:
+def make_mesh(devices=None, dp: int | None = None, tp: int = 1,
+              sp: int = 1) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    dp = dp if dp is not None else n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != n_devices({n})"
-    dev_array = np.asarray(devices).reshape(dp, tp)
-    return Mesh(dev_array, axis_names=("dp", "tp"))
+    dp = dp if dp is not None else n // (tp * sp)
+    assert dp * sp * tp == n, \
+        f"dp({dp}) * sp({sp}) * tp({tp}) != n_devices({n})"
+    dev_array = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(dev_array, axis_names=("dp", "sp", "tp"))
 
 
 # Megatron-style tensor-parallel layout for the transformer blocks:
@@ -80,10 +89,11 @@ def auto_mesh(cfg, logger=None) -> Mesh | None:
     (segmentation ``engine/train.py`` and generative ``engine/pretrain.py``).
 
     Reads ``cfg.distributed`` (``"auto"``/``True``/``False``), ``cfg.tp``,
-    and the train batch size (``batch_size_l`` falling back to
-    ``batch_size``).  Under ``"auto"``, dp shrinks to the largest divisor of
-    the batch so every device holds whole samples (replicated compute helps
-    nobody).  Returns the mesh, or ``None`` for single-device runs."""
+    ``cfg.sp`` (point-axis sharding), and the train batch size
+    (``batch_size_l`` falling back to ``batch_size``).  Under ``"auto"``,
+    dp shrinks to the largest divisor of the batch so every device holds
+    whole samples (replicated compute helps nobody).  Returns the mesh, or
+    ``None`` for single-device runs."""
     import jax
 
     devices = jax.devices()
@@ -91,21 +101,23 @@ def auto_mesh(cfg, logger=None) -> Mesh | None:
     if len(devices) <= 1 or distributed is False:
         return None
     tp = int(cfg.get("tp", 1) or 1)
-    if tp > 1 and len(devices) % tp:
-        # an explicit tensor-parallel request that cannot be honoured must
-        # not silently degrade to fewer devices (or single-device)
-        raise ValueError(f"cfg.tp={tp} does not divide the "
+    sp = int(cfg.get("sp", 1) or 1)
+    if tp * sp > 1 and len(devices) % (tp * sp):
+        # an explicit tensor/point-parallel request that cannot be honoured
+        # must not silently degrade to fewer devices (or single-device)
+        raise ValueError(f"cfg.tp={tp} * cfg.sp={sp} does not divide the "
                          f"{len(devices)}-device count")
-    dp = len(devices) // tp
+    dp = len(devices) // (tp * sp)
     bs = int(cfg.get("batch_size_l", cfg.get("batch_size", 0)) or 0)
     if distributed == "auto" and bs:
         while dp > 1 and bs % dp:
             dp -= 1
-    if dp * tp <= 1:
+    if dp * sp * tp <= 1:
         return None
-    mesh = make_mesh(devices[:dp * tp], dp=dp, tp=tp)
+    mesh = make_mesh(devices[:dp * sp * tp], dp=dp, tp=tp, sp=sp)
     if logger is not None:
-        logger.info(f"mesh: dp={dp} tp={tp} over {dp * tp}/{len(devices)} "
+        logger.info(f"mesh: dp={dp} sp={sp} tp={tp} over "
+                    f"{dp * sp * tp}/{len(devices)} "
                     f"{devices[0].platform} devices, "
                     f"{jax.process_count()} host(s)")
         for key in ("batch_size_l", "batch_size_u", "batch_size"):
@@ -171,18 +183,26 @@ def find_free_port() -> int:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard every array's leading (batch) axis over dp.
+    """Shard every array's leading (batch) axis over dp, and — when the mesh
+    has an ``sp`` axis of size > 1 — its second (point) axis over sp.
 
-    Arrays whose leading dim is not divisible by the dp size (e.g. a short
-    final eval batch) are replicated instead — correct, just without the dp
-    speedup for that array.
+    Axes that do not divide their mesh-axis size are replicated instead
+    (e.g. a short final eval batch over dp, or ``(B, 1)`` jaw-class /
+    ``(B, 17)`` class-weight arrays over sp) — correct, just without the
+    sharding speedup for that array.
     """
     dp = mesh.shape["dp"]
+    sp = mesh.shape.get("sp", 1)
 
     def place(leaf):
-        if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] % dp == 0:
-            return jax.device_put(
-                leaf, NamedSharding(mesh, P("dp", *([None] * (leaf.ndim - 1)))))
-        return jax.device_put(leaf, NamedSharding(mesh, P()))
+        ndim = getattr(leaf, "ndim", 0)
+        dims = [None] * ndim
+        if ndim >= 1 and leaf.shape[0] % dp == 0:
+            dims[0] = "dp"
+        if sp > 1 and ndim >= 2 and leaf.shape[1] % sp == 0:
+            dims[1] = "sp"
+        while dims and dims[-1] is None:
+            dims.pop()
+        return jax.device_put(leaf, NamedSharding(mesh, P(*dims)))
 
     return jax.tree_util.tree_map(place, batch)

@@ -142,6 +142,34 @@ def test_dp4_tp2_semi_step_matches_single_device():
 
 
 @pytest.mark.slow
+def test_dp2_sp2_tp2_semi_step_matches_single_device():
+    """Point-axis (sequence-parallel analogue) sharding: with the point axis
+    of every batch array sharded over sp, the dense per-point stages compute
+    on N/sp points per device and GSPMD all-gathers around the cross-point
+    neighbour ops — numerics must still match single-device exactly.  Runs
+    the full 3-axis mesh (dp=2 x sp=2 x tp=2) in one test."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (run via scripts/test.sh)")
+    loss_1, sup_1, pnorm_1 = _run(shard=False)
+
+    state, batch_l, batch_u, step = _setup()
+    mesh = make_mesh(jax.devices()[:8], dp=2, tp=2, sp=2)
+    state = shard_state(state, mesh)
+    batch_l = shard_batch(batch_l, mesh)
+    batch_u = shard_batch(batch_u, mesh)
+    # the (B, N, ...) arrays must actually be point-sharded (N=256 over sp=2)
+    assert batch_l["pos"].sharding.spec == jax.sharding.PartitionSpec(
+        "dp", "sp")
+    new_state, metrics = step(state, batch_l, batch_u, jnp.asarray(1e-3), True)
+    pnorm = jax.jit(lambda p: jnp.sqrt(sum(
+        jnp.sum(jnp.square(x.astype(jnp.float32)))
+        for x in jax.tree_util.tree_leaves(p))))(new_state.params)
+    assert float(metrics["loss"]) == pytest.approx(loss_1, abs=1e-5)
+    assert float(metrics["sup_loss"]) == pytest.approx(sup_1, abs=1e-5)
+    assert float(pnorm) == pytest.approx(pnorm_1, rel=1e-5)
+
+
+@pytest.mark.slow
 def test_dp8_sharded_inference_matches_single_device():
     """Batch-parallel SERVING: the eval step over a dp-sharded batch matches
     single-device logits (the multi-chip inference story)."""
