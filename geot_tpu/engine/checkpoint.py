@@ -117,8 +117,18 @@ def load_checkpoint(path: str, template_state,
 
     ckptr = _checkpointer()
     payload = ckptr.restore(os.path.abspath(path))
-    saved = payload["state"]
+    saved = dict(payload["state"])
     full = to_state_dict(template_state)
+    # optional fields (EMA eval shadow) may be an EMPTY dict on either side:
+    # empty-in-checkpoint + enabled-in-run counts as missing (the caller
+    # seeds it from the restored weights); enabled-in-checkpoint +
+    # disabled-in-run is dropped (the run asked not to carry it)
+    for opt_key in ("ema_params",):
+        if opt_key in full and opt_key in saved:
+            if full[opt_key] == {} and saved[opt_key]:
+                saved[opt_key] = {}
+            elif full[opt_key] != {} and saved[opt_key] == {}:
+                del saved[opt_key]
     missing = [k for k in full if k not in saved]
     if missing_fields is not None:
         missing_fields.extend(missing)
@@ -322,13 +332,20 @@ def discover_checkpoint(run_dir: str, prefer: str = "best") -> str:
     return os.path.join(ckdir, cands[0])
 
 
-def load_variables(path: str):
+def load_variables(path: str, prefer_ema: bool = False):
     """Model variables (params + batch_stats) from a saved checkpoint, no
     state template needed — for export/serving where the optimizer state is
-    irrelevant."""
+    irrelevant.
+
+    ``prefer_ema``: return the Polyak-averaged evaluation weights
+    (``state.ema_params``, maintained under ``cfg.ema_eval``) as ``params``
+    when the checkpoint carries them; falls back to the raw weights."""
     payload = _checkpointer().restore(os.path.abspath(path))
     st = payload["state"]
-    out = {"params": st["params"]}
+    params = st["params"]
+    if prefer_ema and st.get("ema_params"):
+        params = st["ema_params"]
+    out = {"params": params}
     if st.get("batch_stats"):
         out["batch_stats"] = st["batch_stats"]
     return out

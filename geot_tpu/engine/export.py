@@ -100,7 +100,10 @@ def export_cli(argv=None):
     cfg.load(args.cfg, recursive=True)
     cfg.update(opts)
     model = build_model_from_cfg(cfg.model)
-    variables = load_variables(args.ckpt)
+    use_ema = cfg.get("use_ema", "auto")
+    variables = load_variables(args.ckpt,
+                               prefer_ema=(True if use_ema == "auto"
+                                           else bool(use_ema)))
     path = export_forward(model, variables, n_points=args.n_points,
                           batch=args.batch, out=args.out)
     print(f"exported to {path} ({os.path.getsize(path)} bytes)")

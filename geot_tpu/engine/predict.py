@@ -76,7 +76,12 @@ def load_model_and_params(cfg, ckpt_path=None):
 
         from .checkpoint import load_variables
 
-        loaded = load_variables(ckpt_path)   # handles optional batch_stats
+        # use_ema=auto serves the Polyak-averaged weights when the checkpoint
+        # carries them (what the run's own validation selected by)
+        use_ema = cfg.get("use_ema", "auto")
+        loaded = load_variables(             # handles optional batch_stats
+            ckpt_path, prefer_ema=(True if use_ema == "auto"
+                                   else bool(use_ema)))
         missing = set(variables) - {"params"} - set(loaded)
         if missing & {"batch_stats"}:
             raise ValueError(f"{ckpt_path} has no batch_stats but the model "

@@ -16,6 +16,15 @@ import jax.numpy as jnp
 from ..losses.contrast import ContrastState
 
 
+def _ema_init(params, ema: bool):
+    """Fresh EMA tree = a deep copy of the params (no startup-bias correction
+    needed), or an empty dict when EMA evaluation is off.  An empty dict (not
+    ``None``) keeps the pytree/serialization structure regular."""
+    if not ema:
+        return {}
+    return jax.tree_util.tree_map(jnp.copy, params)
+
+
 @flax.struct.dataclass
 class TrainState:
     """Supervised training state."""
@@ -24,18 +33,30 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray          # ()
+    # Polyak/EMA shadow of ``params`` for evaluation (``cfg.ema_eval``
+    # decay) — a capability beyond the reference.  Empty dict when disabled.
+    ema_params: Any = flax.struct.field(default_factory=dict)
 
     @classmethod
-    def create(cls, variables, tx):
+    def create(cls, variables, tx, ema: bool = False):
         params = variables["params"]
         return cls(params=params,
                    batch_stats=variables.get("batch_stats", {}),
                    opt_state=tx.init(params),
-                   step=jnp.zeros((), jnp.int32))
+                   step=jnp.zeros((), jnp.int32),
+                   ema_params=_ema_init(params, ema))
 
     @property
     def variables(self):
         return {"params": self.params, "batch_stats": self.batch_stats}
+
+    @property
+    def eval_variables(self):
+        """Variables for evaluation: the EMA weights when maintained, the raw
+        weights otherwise.  Batch stats are shared (they are already running
+        averages with momentum 0.9 — a second EMA would double-lag them)."""
+        params = self.ema_params if self.ema_params else self.params
+        return {"params": params, "batch_stats": self.batch_stats}
 
 
 @flax.struct.dataclass
@@ -56,11 +77,14 @@ class SemiTrainState:
     contrast: ContrastState
     rng: jax.Array
     step: jnp.ndarray
+    # Polyak/EMA shadow of the student ``params`` for evaluation
+    # (``cfg.ema_eval`` decay); empty dict when disabled
+    ema_params: Any = flax.struct.field(default_factory=dict)
 
     @classmethod
     def create(cls, variables, tx, t_variables, t_tx, num_classes: int,
                rng, teacher_variables=None, contrast_dim: int = 384,
-               contrast_queue: int = 4096):
+               contrast_queue: int = 4096, ema: bool = False):
         teacher_variables = teacher_variables or variables
         # deep-copy teacher buffers: the state is donated each step, and
         # XLA rejects donating the same buffer twice if teacher aliases student
@@ -80,11 +104,19 @@ class SemiTrainState:
                                           dim=contrast_dim),
             rng=rng,
             step=jnp.zeros((), jnp.int32),
+            ema_params=_ema_init(variables["params"], ema),
         )
 
     @property
     def variables(self):
         return {"params": self.params, "batch_stats": self.batch_stats}
+
+    @property
+    def eval_variables(self):
+        """See ``TrainState.eval_variables`` — student EMA weights when
+        maintained, raw student weights otherwise."""
+        params = self.ema_params if self.ema_params else self.params
+        return {"params": params, "batch_stats": self.batch_stats}
 
     @property
     def teacher_variables(self):

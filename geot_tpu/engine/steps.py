@@ -59,6 +59,17 @@ def _select_tree(pred, new, old):
         lambda n, o: jnp.where(pred, n, o), new, old)
 
 
+def _ema_update(ema_params, params, decay: float):
+    """One Polyak step of the evaluation EMA (``cfg.ema_eval``).  No-op when
+    the state was created without EMA (empty dict) or the decay is unset —
+    both are trace-time constants, so disabled runs compile zero extra ops."""
+    if not decay or not ema_params:
+        return ema_params
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema_params, params)
+
+
 def _finite_guard(loss, *grad_trees):
     """True when the loss and every gradient are finite — the gate for
     ``skip_nonfinite_updates`` (production hardening beyond the reference,
@@ -76,6 +87,7 @@ def make_supervised_step(model, tx, cfg) -> Callable:
     clip = cfg.get("grad_norm_clip")
     needs_hessian = _needs_hessian(cfg)
     skip_nonfinite = bool(cfg.get("skip_nonfinite_updates", False))
+    ema_decay = float(cfg.get("ema_eval") or 0.0)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, lr):
@@ -108,6 +120,7 @@ def make_supervised_step(model, tx, cfg) -> Callable:
         opt_state = set_learning_rate(state.opt_state, lr)
         updates, opt_state = tx.update(grads, opt_state, state.params, **extra)
         params = optax.apply_updates(state.params, updates)
+        ema_params = _ema_update(state.ema_params, params, ema_decay)
         metrics = {"loss": loss, "sup_loss": loss,
                    "unsup_loss": jnp.zeros(())}
         if skip_nonfinite:
@@ -119,11 +132,13 @@ def make_supervised_step(model, tx, cfg) -> Callable:
             params = _select_tree(ok, params, state.params)
             opt_state = _select_tree(ok, opt_state, state.opt_state)
             new_bs = _select_tree(ok, new_bs, state.batch_stats)
+            ema_params = _select_tree(ok, ema_params, state.ema_params)
             metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
             metrics["loss"] = jnp.where(ok, loss, 0.0)
             metrics["sup_loss"] = metrics["loss"]
         new_state = state.replace(params=params, batch_stats=new_bs,
-                                  opt_state=opt_state, step=state.step + 1)
+                                  opt_state=opt_state, step=state.step + 1,
+                                  ema_params=ema_params)
         return new_state, metrics
 
     return step
@@ -143,6 +158,7 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
     num_classes = int(cfg["num_classes"])
     clip = cfg.get("grad_norm_clip")
     needs_hessian = _needs_hessian(cfg)
+    ema_decay = float(cfg.get("ema_eval") or 0.0)
 
     threshold = float(cfg.get("threshold", 0.0))
     unsup_w = float(cfg.get("unsupervised_loss_weight", 1.0))
@@ -338,6 +354,7 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
         t_updates, t_opt_state = t_tx.update(g_t, t_opt_state, state.t_params,
                                              **t_extra)
         t_params = optax.apply_updates(state.t_params, t_updates)
+        ema_params = _ema_update(state.ema_params, params, ema_decay)
 
         skipped = jnp.zeros(())
         if skip_nonfinite:
@@ -348,6 +365,7 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
             # hardening beyond the reference)
             ok = _finite_guard(loss, g_model, g_t)
             params = _select_tree(ok, params, state.params)
+            ema_params = _select_tree(ok, ema_params, state.ema_params)
             opt_state = _select_tree(ok, opt_state, state.opt_state)
             t_params = _select_tree(ok, t_params, state.t_params)
             t_opt_state = _select_tree(ok, t_opt_state, state.t_opt_state)
@@ -378,7 +396,7 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
             params=params, batch_stats=aux["new_bs"], opt_state=opt_state,
             t_params=t_params, t_opt_state=t_opt_state,
             ema_t=aux["ema_t"], contrast=aux["contrast"],
-            rng=rng, step=state.step + 1)
+            rng=rng, step=state.step + 1, ema_params=ema_params)
         return new_state, metrics
 
     return step

@@ -242,8 +242,14 @@ def main(cfg: EasyConfig) -> dict:
     elif (pretrained and os.path.isdir(str(pretrained))
           and (eval_only or mode in ("finetune", "finetune_encoder"))):
         from .checkpoint import load_variables
-        loaded_vars = load_variables(pretrained)
-        logger.info(f"loaded checkpoint variables from {pretrained}")
+        # use_ema: "auto" (default) evaluates the Polyak weights when the
+        # checkpoint carries them (they are what the run's own val selected
+        # the best ckpt by); false forces the raw weights
+        use_ema = cfg.get("use_ema", "auto")
+        prefer_ema = (eval_only if use_ema == "auto" else bool(use_ema))
+        loaded_vars = load_variables(pretrained, prefer_ema=prefer_ema)
+        logger.info(f"loaded checkpoint variables from {pretrained}"
+                    + (" (EMA weights when present)" if prefer_ema else ""))
     if loaded_vars is not None:
         # reference load semantics: eval / plain finetune load the whole
         # model, finetune_encoder loads the encoder submodule only
@@ -311,13 +317,14 @@ def main(cfg: EasyConfig) -> dict:
         state = SemiTrainState.create(
             variables, tx, t_vars, t_tx, num_classes,
             jax.random.fold_in(rng, 3), teacher_variables=variables,
-            contrast_dim=int(cfg.model.segmentor_args.get("trans_dim", 384)))
+            contrast_dim=int(cfg.model.segmentor_args.get("trans_dim", 384)),
+            ema=bool(cfg.get("ema_eval")))
         semi_step = make_semi_step(model, model_t, t_predictor, tx, t_tx, cfg)
         # NOTE: the cm bootstrap runs AFTER the resume branch below — a
         # params-only resume must compute cm from the RESTORED weights, not
         # the fresh random init (round-3 review finding)
     else:
-        state = TrainState.create(variables, tx)
+        state = TrainState.create(variables, tx, ema=bool(cfg.get("ema_eval")))
         semi_step = None
     sup_step = make_supervised_step(model, tx, cfg)
 
@@ -343,6 +350,14 @@ def main(cfg: EasyConfig) -> dict:
         start_epoch = int(ckpt_epoch) + 1
         best.update(extra or {})
         logger.info(f"resumed from {pretrained} at epoch {ckpt_epoch}")
+        if cfg.get("ema_eval") and (
+                "ema_params" in resume_missing or not state.ema_params):
+            # checkpoint predates EMA eval (or was saved with it off): seed
+            # the shadow from the RESTORED weights, not the fresh init the
+            # template carried into load_checkpoint
+            state = state.replace(ema_params=jax.tree_util.tree_map(
+                jnp.copy, state.params))
+            logger.info("ema_eval: seeded EMA shadow from restored weights")
 
     # cm bootstrap (reference ``cal_mean_feature``, ``train.py:276,868``):
     # from the CURRENT weights — fresh init for mode=train (reference
@@ -543,9 +558,19 @@ def main(cfg: EasyConfig) -> dict:
             # freq 0/None disables periodic eval (final epoch always runs)
             val_freq = int(cfg.get("val_freq", 250) or 0)
             if (val_freq and epoch % val_freq == 0) or epoch == int(cfg.epochs):
-                res = validate(eval_step, state.variables, val_loader, cfg, logger,
-                               mesh=mesh)
+                res = validate(eval_step, state.eval_variables, val_loader,
+                               cfg, logger, mesh=mesh)
                 results["val"] = res
+                if cfg.get("ema_eval") and state.ema_params:
+                    # also score the RAW weights so the EMA benefit (or harm)
+                    # is visible inside one run — eval tensors are device-
+                    # cached, so this is one extra device-bound pass
+                    res_raw = validate(eval_step, state.variables, val_loader,
+                                       cfg, logger, mesh=mesh, tag="val_raw")
+                    results["val_raw"] = res_raw
+                    if writer:
+                        for k, v in res_raw.items():
+                            writer.add_scalar(f"val_raw_{k}", v, epoch)
                 if hasattr(schedule, "note_metric"):  # plateau scheduler feedback
                     schedule.note_metric(res["whole_miou"])
                 is_best = res["whole_miou"] >= best["miou"] or np.isnan(best["miou"])
@@ -574,14 +599,18 @@ def main(cfg: EasyConfig) -> dict:
                 # from the best state, not the current one.  Unlike the reference
                 # (whose load persists into subsequent training) the training
                 # state is left untouched.
-                test_vars = state.variables
+                test_vars = state.eval_variables
                 if cfg.get("ckpt_dir"):
                     from .checkpoint import _ckpt_path, load_variables
                     best_path = _ckpt_path(cfg["ckpt_dir"],
                                            cfg.get("run_name", "run"), "best")
                     if os.path.exists(best_path):
-                        test_vars = place_variables(load_variables(best_path),
-                                                    mesh)
+                        # prefer_ema: the val metrics that selected this best
+                        # ckpt were computed on the EMA weights when enabled
+                        test_vars = place_variables(
+                            load_variables(best_path,
+                                           prefer_ema=bool(cfg.get("ema_eval"))),
+                            mesh)
                         logger.info(f"test eval on best ckpt (epoch {best['epoch']})")
                 res = validate(eval_step, test_vars, test_loader, cfg, logger,
                                mesh=mesh, tag="test")

@@ -4,7 +4,11 @@ batch_stats, ~96 MB) in the full ``save_checkpoint`` payload shape, so it
 feeds ``load_variables``, the predict/serve/export CLIs AND params-only
 ``mode=resume``.
 
-    python scripts/make_params_only.py <full_ckpt_dir> <out_dir>
+    python scripts/make_params_only.py <full_ckpt_dir> <out_dir> [--ema]
+
+``--ema``: export the Polyak-averaged evaluation weights (``ema_params``,
+maintained under ``cfg.ema_eval``) as the artifact's ``params`` — what the
+run's own validation evaluated; errors if the checkpoint has no EMA shadow.
 
 CPU-safe (no accelerator needed).
 """
@@ -18,11 +22,16 @@ def main():
     import numpy as np
     import orbax.checkpoint as ocp
 
-    src, out = os.path.abspath(sys.argv[1]), os.path.abspath(sys.argv[2])
+    args = [a for a in sys.argv[1:] if a != "--ema"]
+    use_ema = "--ema" in sys.argv[1:]
+    src, out = os.path.abspath(args[0]), os.path.abspath(args[1])
     with ocp.StandardCheckpointer() as ckptr:
         payload = ckptr.restore(src)
         st = payload["state"]
-        v = {"params": st["params"]}
+        if use_ema and not st.get("ema_params"):
+            raise SystemExit(f"{src} carries no ema_params (run trained "
+                             f"without cfg.ema_eval)")
+        v = {"params": st["ema_params"] if use_ema else st["params"]}
         if st.get("batch_stats"):
             v["batch_stats"] = st["batch_stats"]
         slim = {"state": v, "epoch": payload.get("epoch", 0),
