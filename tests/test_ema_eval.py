@@ -127,6 +127,34 @@ def test_checkpoint_roundtrip_and_pre_ema_resume(tmp_path):
     assert "ema_params" in missing or not restored2.ema_params
 
 
+def test_ema_params_shard_like_params():
+    """Under a dp x tp mesh, ``shard_state`` must give every ``ema_params``
+    leaf the SAME placement as its ``params`` twin (the tp regexes match
+    anywhere in the state path) — otherwise the jitted step would insert
+    resharding collectives on every EMA update."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (run via scripts/test.sh)")
+    from geot_tpu.parallel.mesh import make_mesh, shard_state
+
+    state, _ = _setup(ema=True)
+    mesh = make_mesh(jax.devices()[:8], dp=4, tp=2)
+    sharded = shard_state(state, mesh)
+    flat_p = {"/".join(str(getattr(k, "key", k)) for k in path): leaf
+              for path, leaf in
+              jax.tree_util.tree_flatten_with_path(sharded.params)[0]}
+    flat_e = {"/".join(str(getattr(k, "key", k)) for k in path): leaf
+              for path, leaf in
+              jax.tree_util.tree_flatten_with_path(sharded.ema_params)[0]}
+    assert set(flat_p) == set(flat_e) and flat_p
+    tp_sharded = 0
+    for k, p in flat_p.items():
+        assert p.sharding == flat_e[k].sharding, k
+        tp_sharded += "tp" in (p.sharding.spec or ())
+    assert tp_sharded > 0  # the tp rules actually fired on attn/mlp kernels
+
+
 def test_semi_step_updates_ema():
     """The SEMI step maintains the EMA shadow too (same host-reference
     recurrence over the raw student trajectory)."""
