@@ -271,7 +271,7 @@ def load_pretrain_encoder(variables, pretrain_path: str,
     the transfer is a name-matched subtree graft; unmatched entries (seg
     head, decoder pyramid, T-machinery) keep their fresh init and are
     reported.  Returns ``(variables, skipped)``."""
-    loaded = load_variables(pretrain_path)
+    loaded = load_variables(pretrain_path, prefer_ema=False)  # raw trunk
     # the flagship WholePartSeg nests the trunk under 'segmentor' (whose
     # children share the pretrain encoder's module names); zoo BaseSeg
     # models expose a top-level 'encoder' module instead — graft into
@@ -332,16 +332,23 @@ def discover_checkpoint(run_dir: str, prefer: str = "best") -> str:
     return os.path.join(ckdir, cands[0])
 
 
-def load_variables(path: str, prefer_ema: bool = False):
+def load_variables(path: str, prefer_ema="auto"):
     """Model variables (params + batch_stats) from a saved checkpoint, no
     state template needed — for export/serving where the optimizer state is
     irrelevant.
 
-    ``prefer_ema``: return the Polyak-averaged evaluation weights
+    ``prefer_ema``: ``True`` returns the Polyak-averaged evaluation weights
     (``state.ema_params``, maintained under ``cfg.ema_eval``) as ``params``
-    when the checkpoint carries them; falls back to the raw weights."""
+    when the checkpoint carries them, ``False`` the raw weights, ``"auto"``
+    (default) whichever tree the run's own best-val selection recorded as
+    the winner (``extra["ema_selected"]`` — 1.0/0.0, written by
+    ``engine/train.py``; EMA when the record is absent but the shadow
+    exists)."""
     payload = _checkpointer().restore(os.path.abspath(path))
     st = payload["state"]
+    if prefer_ema == "auto":
+        rec = (payload.get("extra") or {}).get("ema_selected")
+        prefer_ema = True if rec is None else bool(rec)
     params = st["params"]
     if prefer_ema and st.get("ema_params"):
         params = st["ema_params"]
@@ -546,7 +553,9 @@ def resume_model(state, cfg=None, pretrained_path: Optional[str] = None):
         logging.info(f"[RESUME INFO] no checkpoint file from path "
                      f"{pretrained_path}...")
         return state, 0, {}
-    loaded = load_variables(pretrained_path)
+    # raw weights: this is the reference resume_model semantics (training
+    # continues from the raw trajectory, never from an EMA snapshot)
+    loaded = load_variables(pretrained_path, prefer_ema=False)
     new = state.replace(params=loaded["params"],
                         **({"batch_stats": loaded["batch_stats"]}
                            if "batch_stats" in loaded

@@ -102,7 +102,7 @@ def export_cli(argv=None):
     model = build_model_from_cfg(cfg.model)
     use_ema = cfg.get("use_ema", "auto")
     variables = load_variables(args.ckpt,
-                               prefer_ema=(True if use_ema == "auto"
+                               prefer_ema=("auto" if use_ema == "auto"
                                            else bool(use_ema)))
     path = export_forward(model, variables, n_points=args.n_points,
                           batch=args.batch, out=args.out)

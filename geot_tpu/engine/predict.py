@@ -76,11 +76,11 @@ def load_model_and_params(cfg, ckpt_path=None):
 
         from .checkpoint import load_variables
 
-        # use_ema=auto serves the Polyak-averaged weights when the checkpoint
-        # carries them (what the run's own validation selected by)
+        # use_ema=auto serves whichever tree the run's own best-val selection
+        # recorded as the winner (extra["tree"]); true/false force it
         use_ema = cfg.get("use_ema", "auto")
         loaded = load_variables(             # handles optional batch_stats
-            ckpt_path, prefer_ema=(True if use_ema == "auto"
+            ckpt_path, prefer_ema=("auto" if use_ema == "auto"
                                    else bool(use_ema)))
         missing = set(variables) - {"params"} - set(loaded)
         if missing & {"batch_stats"}:

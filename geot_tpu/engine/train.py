@@ -242,14 +242,16 @@ def main(cfg: EasyConfig) -> dict:
     elif (pretrained and os.path.isdir(str(pretrained))
           and (eval_only or mode in ("finetune", "finetune_encoder"))):
         from .checkpoint import load_variables
-        # use_ema: "auto" (default) evaluates the Polyak weights when the
-        # checkpoint carries them (they are what the run's own val selected
-        # the best ckpt by); false forces the raw weights
+        # use_ema: "auto" (default) loads whichever tree the source run's
+        # best-val selection recorded as the winner (extra["tree"]) for
+        # eval-only modes, the raw weights for finetune; true/false force it
         use_ema = cfg.get("use_ema", "auto")
-        prefer_ema = (eval_only if use_ema == "auto" else bool(use_ema))
+        prefer_ema = (("auto" if eval_only else False)
+                      if use_ema == "auto" else bool(use_ema))
         loaded_vars = load_variables(pretrained, prefer_ema=prefer_ema)
         logger.info(f"loaded checkpoint variables from {pretrained}"
-                    + (" (EMA weights when present)" if prefer_ema else ""))
+                    + ("" if prefer_ema is False else
+                       " (EMA weights per the run's own selection)"))
     if loaded_vars is not None:
         # reference load semantics: eval / plain finetune load the whole
         # model, finetune_encoder loads the encoder submodule only
@@ -558,10 +560,16 @@ def main(cfg: EasyConfig) -> dict:
             # freq 0/None disables periodic eval (final epoch always runs)
             val_freq = int(cfg.get("val_freq", 250) or 0)
             if (val_freq and epoch % val_freq == 0) or epoch == int(cfg.epochs):
+                ema_on = bool(cfg.get("ema_eval")) and bool(state.ema_params)
                 res = validate(eval_step, state.eval_variables, val_loader,
                                cfg, logger, mesh=mesh)
                 results["val"] = res
-                if cfg.get("ema_eval") and state.ema_params:
+                # selection candidate: the better of the EMA and raw trees —
+                # a mistuned EMA decay must degrade gracefully (best-ckpt
+                # selection and the plateau scheduler fall back to the raw
+                # weights), never silently wreck the run's reported best
+                sel, sel_tree = res, ("ema" if ema_on else "raw")
+                if ema_on:
                     # also score the RAW weights so the EMA benefit (or harm)
                     # is visible inside one run — eval tensors are device-
                     # cached, so this is one extra device-bound pass
@@ -571,12 +579,17 @@ def main(cfg: EasyConfig) -> dict:
                     if writer:
                         for k, v in res_raw.items():
                             writer.add_scalar(f"val_raw_{k}", v, epoch)
+                    if res_raw["whole_miou"] > sel["whole_miou"]:
+                        sel, sel_tree = res_raw, "raw"
                 if hasattr(schedule, "note_metric"):  # plateau scheduler feedback
-                    schedule.note_metric(res["whole_miou"])
-                is_best = res["whole_miou"] >= best["miou"] or np.isnan(best["miou"])
-                if is_best and not np.isnan(res["whole_miou"]):
-                    best.update(miou=res["whole_miou"], dsc=res["whole_dsc"],
-                                acc=res["whole_acc"], epoch=epoch)
+                    schedule.note_metric(sel["whole_miou"])
+                is_best = sel["whole_miou"] >= best["miou"] or np.isnan(best["miou"])
+                if is_best and not np.isnan(sel["whole_miou"]):
+                    # ema_selected is numeric (1.0/0.0): orbax's standard
+                    # handler rejects string leaves in the saved extra dict
+                    best.update(miou=sel["whole_miou"], dsc=sel["whole_dsc"],
+                                acc=sel["whole_acc"], epoch=epoch,
+                                ema_selected=float(sel_tree == "ema"))
                 if writer:
                     for k, v in res.items():
                         writer.add_scalar(f"val_{k}", v, epoch)
@@ -605,11 +618,13 @@ def main(cfg: EasyConfig) -> dict:
                     best_path = _ckpt_path(cfg["ckpt_dir"],
                                            cfg.get("run_name", "run"), "best")
                     if os.path.exists(best_path):
-                        # prefer_ema: the val metrics that selected this best
-                        # ckpt were computed on the EMA weights when enabled
+                        # load the tree the best-val selection actually won
+                        # with (best["ema_selected"]; 0.0 when EMA was
+                        # maintained but the raw weights validated better)
                         test_vars = place_variables(
                             load_variables(best_path,
-                                           prefer_ema=bool(cfg.get("ema_eval"))),
+                                           prefer_ema=bool(
+                                               best.get("ema_selected", 0))),
                             mesh)
                         logger.info(f"test eval on best ckpt (epoch {best['epoch']})")
                 res = validate(eval_step, test_vars, test_loader, cfg, logger,

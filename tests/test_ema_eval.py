@@ -107,6 +107,27 @@ def test_checkpoint_roundtrip_and_pre_ema_resume(tmp_path):
                          jax.tree_util.tree_leaves(raw["params"]))]
     assert max(d) > 0
 
+    # prefer_ema="auto" follows the recorded best-val winner
+    # (extra["ema_selected"], numeric — orbax rejects string leaves): a 0.0
+    # record must serve the raw weights even though the EMA shadow exists
+    cfg_r = {"ckpt_dir": str(tmp_path / "ckr"), "run_name": "rawwin"}
+    save_checkpoint(cfg_r, state, epoch=2,
+                    additional_dict={"ema_selected": 0.0})
+    auto_raw = load_variables(os.path.join(cfg_r["ckpt_dir"],
+                                           "rawwin_ckpt_latest"))
+    for a, b in zip(jax.tree_util.tree_leaves(raw["params"]),
+                    jax.tree_util.tree_leaves(auto_raw["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ...a 1.0 record (and an absent record, as in `path` above) serves EMA
+    cfg_e = {"ckpt_dir": str(tmp_path / "cke"), "run_name": "emawin"}
+    save_checkpoint(cfg_e, state, epoch=2,
+                    additional_dict={"ema_selected": 1.0})
+    for src in (os.path.join(cfg_e["ckpt_dir"], "emawin_ckpt_latest"), path):
+        auto_ema = load_variables(src)
+        for a, b in zip(jax.tree_util.tree_leaves(ev["params"]),
+                        jax.tree_util.tree_leaves(auto_ema["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     # a PRE-EMA checkpoint (saved with ema off) restores into an EMA-enabled
     # template: the field is reported missing so the caller can seed it from
     # the restored weights (engine/train.py resume branch)
