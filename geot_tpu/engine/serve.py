@@ -9,6 +9,9 @@ the same pipeline as ``engine.predict``: OBJ/NPY scan in, FDI labels out.
 
 API:
   GET  /healthz                    -> {"status": "ok", "scans_served": N}
+  GET  /metrics                    -> Prometheus text exposition: request
+                                      counters by outcome, request-latency
+                                      histogram, scans served, uptime
   POST /predict?jaw={lower|upper}  body: .npy bytes (P, 3) float or OBJ text
                                    -> {"labels": [...FDI...], "n_points": P,
                                        "jaw": ..., "seconds": t}
@@ -48,6 +51,60 @@ class _ArtifactModel:
         return (self._call(batch["pos"], batch["cls"]),)
 
 
+class _Metrics:
+    """Prometheus-style request metrics (counter by outcome + latency
+    histogram) behind its own lock, so scrapes never contend with the
+    device-dispatch lock."""
+
+    BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._t0 = time.time()
+        self._outcomes = {"ok": 0, "error": 0}
+        self._bucket_counts = [0] * (len(self.BUCKETS) + 1)  # +Inf last
+        self._lat_sum = 0.0
+        self._lat_count = 0
+
+    def observe(self, seconds: float, ok: bool):
+        with self._lock:
+            self._outcomes["ok" if ok else "error"] += 1
+            if ok:   # latency is only meaningful for served predictions
+                i = 0
+                while i < len(self.BUCKETS) and seconds > self.BUCKETS[i]:
+                    i += 1
+                self._bucket_counts[i] += 1
+                self._lat_sum += seconds
+                self._lat_count += 1
+
+    def render(self, scans_served: int) -> str:
+        with self._lock:
+            lines = [
+                "# HELP geot_requests_total predict requests by outcome",
+                "# TYPE geot_requests_total counter",
+                *(f'geot_requests_total{{outcome="{k}"}} {v}'
+                  for k, v in self._outcomes.items()),
+                "# HELP geot_request_seconds served-prediction latency",
+                "# TYPE geot_request_seconds histogram",
+            ]
+            cum = 0
+            for le, n in zip((*self.BUCKETS, "+Inf"), self._bucket_counts):
+                cum += n
+                lines.append(f'geot_request_seconds_bucket{{le="{le}"}} {cum}')
+            lines += [
+                f"geot_request_seconds_sum {self._lat_sum:.6f}",
+                f"geot_request_seconds_count {self._lat_count}",
+                "# HELP geot_scans_served_total scans run on the device "
+                "(includes warmup-excluded resets)",
+                "# TYPE geot_scans_served_total counter",
+                f"geot_scans_served_total {scans_served}",
+                "# HELP geot_uptime_seconds process uptime",
+                "# TYPE geot_uptime_seconds gauge",
+                f"geot_uptime_seconds {time.time() - self._t0:.3f}",
+            ]
+            return "\n".join(lines) + "\n"
+
+
 class _Service:
     """Model state + a lock serialising device dispatch across HTTP threads."""
 
@@ -75,6 +132,7 @@ class _Service:
             self.num_points = int(cfg.get("num_points", 16000))
             self.model, self.variables = load_model_and_params(cfg, ckpt)
         self.lock = threading.Lock()
+        self.metrics = _Metrics()
         self.scans_served = 0
         if warmup:   # compile forward + one upsample bucket before serving
             pts = np.random.default_rng(0).standard_normal((8192, 3))
@@ -117,9 +175,18 @@ def make_handler(service: _Service):
             self.wfile.write(body)
 
         def do_GET(self):
-            if urlparse(self.path).path == "/healthz":
+            path = urlparse(self.path).path
+            if path == "/healthz":
                 self._send(200, {"status": "ok",
                                  "scans_served": service.scans_served})
+            elif path == "/metrics":
+                body = service.metrics.render(service.scans_served).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "unknown path"})
 
@@ -137,10 +204,12 @@ def make_handler(service: _Service):
                 points = _parse_body(body)
                 t0 = time.time()
                 labels = service.predict(points, jaw)
+                dt = time.time() - t0
+                service.metrics.observe(dt, ok=True)
                 self._send(200, {"labels": labels, "n_points": len(labels),
-                                 "jaw": jaw_s,
-                                 "seconds": round(time.time() - t0, 4)})
+                                 "jaw": jaw_s, "seconds": round(dt, 4)})
             except Exception as e:  # noqa: BLE001 — report, keep serving
+                service.metrics.observe(0.0, ok=False)
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler

@@ -59,6 +59,21 @@ def test_serve_end_to_end():
             assert e.code == 400
         with urllib.request.urlopen(f"{base}/healthz", timeout=300) as r:
             assert json.load(r)["status"] == "ok"
+
+        # /metrics: Prometheus text with 2 ok + 1 error and a consistent
+        # latency histogram (bucket counts are cumulative; +Inf == count)
+        with urllib.request.urlopen(f"{base}/metrics", timeout=300) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        m = {line.rsplit(" ", 1)[0]: line.rsplit(" ", 1)[1]
+             for line in text.splitlines() if not line.startswith("#")}
+        assert m['geot_requests_total{outcome="ok"}'] == "2"
+        assert m['geot_requests_total{outcome="error"}'] == "1"
+        assert m['geot_request_seconds_bucket{le="+Inf"}'] == "2"
+        assert m["geot_request_seconds_count"] == "2"
+        assert float(m["geot_request_seconds_sum"]) > 0
+        assert m["geot_scans_served_total"] == "2"
+        assert float(m["geot_uptime_seconds"]) > 0
     finally:
         httpd.shutdown()
 
