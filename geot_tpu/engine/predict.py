@@ -118,9 +118,13 @@ def _get_fwd(model):
 
 def predict_scan(model, variables, points: np.ndarray, jaw: int = 0,
                  num_points: int = 16000, seed: int = 0,
-                 num_votes: int = 0, vote_transform=None):
+                 num_votes: int = 0, vote_transform=None, device=None):
     """points (P, 3) raw scan -> (full-res predictions (P,) np.uint8,
     sampled logits (N, C) DEVICE array — ``np.asarray`` it if needed).
+
+    ``device``: commit the input batch to this device (``variables`` must
+    already live there) so the whole scan executes on it — the per-replica
+    dispatch used by multi-device serving (``engine.serve``).
 
     ``num_votes > 0`` with a ``vote_transform``: average softmax over
     additional augmented passes — the reference's TTA voting protocol
@@ -138,8 +142,13 @@ def predict_scan(model, variables, points: np.ndarray, jaw: int = 0,
     sel = rng.choice(len(points_norm), num_points,
                      replace=len(points_norm) < num_points)
     pos = points_norm[sel][None]
-    batch = {"pos": jnp.asarray(pos), "x": jnp.asarray(pos),
-             "cls": jnp.full((1, 1), jaw, jnp.int32)}
+
+    def _put(x):
+        return jax.device_put(x, device) if device is not None else \
+            jnp.asarray(x)
+
+    batch = {"pos": _put(pos), "x": _put(pos),
+             "cls": _put(np.full((1, 1), jaw, np.int32))}
     members = (variables if isinstance(variables, (list, tuple))
                else (variables,))
 

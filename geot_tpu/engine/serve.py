@@ -16,11 +16,12 @@ API:
                                    -> {"labels": [...FDI...], "n_points": P,
                                        "jaw": ..., "seconds": t}
 
-Requests are served from a single dispatch thread (the device executes FIFO
-and jit functions are not re-entrant across threads with donated buffers), so
-concurrency comes from the device pipeline, not Python threads.  Model +
-upsample programs are compiled at startup via a warmup scan so the first
-request pays no compile.
+Requests round-robin across one weight replica per local device, each behind
+its own dispatch lock — HTTP throughput scales with chips (one scan per
+device beats batching; the B=1 result from ``bench.py``), and within one
+device concurrency comes from the FIFO device pipeline, not Python threads.
+Model + upsample programs are compiled at startup via a warmup scan per
+replica so the first requests pay no compile.
 """
 from __future__ import annotations
 
@@ -131,18 +132,39 @@ class _Service:
         else:
             self.num_points = int(cfg.get("num_points", 16000))
             self.model, self.variables = load_model_and_params(cfg, ckpt)
-        self.lock = threading.Lock()
+        # one (device, weight replica, dispatch lock) per local device:
+        # requests round-robin across replicas so HTTP throughput scales
+        # with chips (one scan per device beats batching — the B=1 result
+        # from bench.py).  Artifact mode stays single-replica: the AOT
+        # executable is loaded for the default device.
+        import jax
+
+        devs = jax.local_devices()
+        if self.variables is not None and len(devs) > 1:
+            self.replicas = [(d, jax.device_put(self.variables, d),
+                              threading.Lock()) for d in devs]
+        else:
+            self.replicas = [(None, self.variables, threading.Lock())]
+        self._rr = 0
+        self._rr_lock = threading.Lock()
         self.metrics = _Metrics()
         self.scans_served = 0
-        if warmup:   # compile forward + one upsample bucket before serving
+        if warmup:   # compile forward + one upsample bucket, EVERY replica
             pts = np.random.default_rng(0).standard_normal((8192, 3))
-            self.predict(pts.astype(np.float32), jaw=0)
+            for _ in self.replicas:
+                self.predict(pts.astype(np.float32), jaw=0)
             self.scans_served = 0
 
     def predict(self, points: np.ndarray, jaw: int):
-        with self.lock:
-            pred, _ = predict_scan(self.model, self.variables, points,
-                                   jaw=jaw, num_points=self.num_points)
+        with self._rr_lock:
+            i = self._rr
+            self._rr += 1
+        device, variables, lock = self.replicas[i % len(self.replicas)]
+        with lock:
+            pred, _ = predict_scan(self.model, variables, points,
+                                   jaw=jaw, num_points=self.num_points,
+                                   device=device)
+        with self._rr_lock:
             self.scans_served += 1
         id2fdi = _ID2FDI_LOWER if jaw == 0 else _ID2FDI_UPPER
         return [int(id2fdi[int(c)]) for c in pred]
@@ -221,6 +243,7 @@ def serve(cfg, ckpt=None, port: int = 8756, warmup: bool = True,
     (caller owns shutdown; port 0 picks a free port)."""
     service = _Service(cfg, ckpt, warmup=warmup, artifact=artifact)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    httpd.service = service   # introspection (tests, embedding callers)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     return httpd

@@ -4,6 +4,7 @@ import json
 import os
 import urllib.request
 
+import jax
 import numpy as np
 import pytest
 
@@ -155,5 +156,11 @@ def test_serve_concurrent_requests(tmp_path):
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
                                     timeout=300) as r:
             assert json.load(r)["scans_served"] == 4
+        # one weight replica per local device (8 on the CPU test mesh), and
+        # the round-robin dispatched every request
+        svc = httpd.service
+        assert len(svc.replicas) == len(jax.local_devices()) > 1
+        assert svc._rr == 4
+        assert all(dev is not None for dev, _, _ in svc.replicas)
     finally:
         httpd.shutdown()
