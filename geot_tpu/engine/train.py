@@ -702,6 +702,10 @@ def parse_and_run(argv=None):
         # generation-stack configs (TAP pretraining) run the pretrain driver
         from .pretrain import main as pretrain_main
         return pretrain_main(cfg)
+    if cfg.get("task") == "partseg":
+        # heritage ShapeNetPart instance-mIoU pipeline (``engine/partseg.py``)
+        from .partseg import main as partseg_main
+        return partseg_main(cfg)
     return main(cfg)
 
 
