@@ -706,6 +706,10 @@ def parse_and_run(argv=None):
         # heritage ShapeNetPart instance-mIoU pipeline (``engine/partseg.py``)
         from .partseg import main as partseg_main
         return partseg_main(cfg)
+    if cfg.get("task") == "cls":
+        # heritage classification pipeline (``engine/cls.py``)
+        from .cls import main as cls_main
+        return cls_main(cfg)
     return main(cfg)
 
 
