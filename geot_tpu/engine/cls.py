@@ -19,6 +19,7 @@ Run: ``python -m geot_tpu.engine.train --cfg cfgs/scanobjectnn/pointnet2cls.yaml
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Dict
 
@@ -108,8 +109,22 @@ def main(cfg):
 
     val_freq = int(cfg.get("val_freq", 1) or 1)
     best = {"oa": 0.0, "macc": 0.0, "epoch": 0}
+    start_epoch = 1
+    if mode == "resume":
+        # full-state restore + epoch counter (same semantics as the tooth
+        # driver; reference ``resume_checkpoint``, ``ckpt_util.py:111``)
+        pretrained = cfg.get("pretrained_path")
+        if not (pretrained and os.path.isdir(str(pretrained))):
+            raise FileNotFoundError(
+                f"mode=resume requires pretrained_path pointing at a "
+                f"checkpoint directory; got {pretrained!r}")
+        from .checkpoint import load_checkpoint
+        state, ckpt_epoch, extra = load_checkpoint(pretrained, state)
+        start_epoch = int(ckpt_epoch) + 1
+        best.update((extra or {}).get("best", {}))
+        logger.info(f"resumed from {pretrained} at epoch {ckpt_epoch}")
     put = jax.device_put
-    for epoch in range(1, int(cfg.epochs) + 1):
+    for epoch in range(start_epoch, int(cfg.epochs) + 1):
         train_loader.set_epoch(epoch)
         lr = jnp.asarray(schedule(epoch), jnp.float32)
         loss_sum, nb, t0 = None, 0, time.time()

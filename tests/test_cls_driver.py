@@ -42,6 +42,19 @@ def test_cls_e2e_synthetic(tmp_path):
     assert (tmp_path / "checkpoint" / "t_ckpt_best").is_dir()
 
 
+def test_cls_resume(tmp_path):
+    """mode=resume restores state + epoch and continues to cfg.epochs."""
+    from geot_tpu.engine.cls import main
+
+    main(_cfg(run_dir=tmp_path))                       # epoch 1
+    cfg = _cfg(run_dir=tmp_path)
+    cfg.update(["epochs=2", "mode=resume",
+                f"pretrained_path={tmp_path}/checkpoint/t_ckpt_latest"])
+    out = main(cfg)
+    assert out["best"]["epoch"] in (1, 2)
+    assert np.isfinite(out["best"]["oa"])
+
+
 def test_cls_eval_counts():
     """OA/mAcc bookkeeping against a hand-built case: a fake eval_step that
     always predicts class 0."""

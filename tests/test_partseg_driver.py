@@ -44,6 +44,19 @@ def test_partseg_e2e_synthetic(tmp_path):
     assert (tmp_path / "scalars.jsonl").exists()
 
 
+def test_partseg_resume(tmp_path):
+    """mode=resume restores state + epoch and continues to cfg.epochs."""
+    from geot_tpu.engine.partseg import main
+
+    main(_cfg(run_dir=tmp_path))                       # epoch 1
+    cfg = _cfg(["epochs=2", "mode=resume",
+                f"pretrained_path={tmp_path}/checkpoint/t_ckpt_latest"],
+               run_dir=tmp_path)
+    out = main(cfg)
+    assert out["best"]["epoch"] in (1, 2)              # best carried or beaten
+    assert np.isfinite(out["best"]["ins_miou"])
+
+
 def test_partseg_eval_category_mask(tmp_path):
     """With the category mask on, every prediction lands in the shape's own
     part range, so per-shape ins_miou can only improve or tie vs unmasked."""
