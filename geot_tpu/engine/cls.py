@@ -68,6 +68,9 @@ def evaluate(eval_step, variables, loader, cfg) -> Dict[str, float]:
 
 
 def main(cfg):
+    from ..core.logger import setup_logger_dist
+    setup_logger_dist(cfg.get("log_path"), jax.process_index(),
+                      name="geot_tpu")
     set_random_seed(int(cfg.get("seed", 0)))
     run_dir = cfg.get("run_dir")
     writer = SummaryWriter(run_dir) if run_dir else None

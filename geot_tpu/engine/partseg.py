@@ -56,8 +56,22 @@ def _part_mask(num_parts: int = 50) -> np.ndarray:
 
 
 def _batch(batch, put):
+    if isinstance(batch.get("pos"), list):
+        # ragged full-resolution clouds can't share one jitted program; the
+        # reference protocol evaluates at num_points anyway
+        raise ValueError(
+            "ragged part-seg batch (clouds shorter than num_points): set "
+            "dataset presample: True or lower num_points for fixed shapes")
     keys = [k for k in ("pos", "x", "cls", "y") if k in batch]
     return put({k: batch[k] for k in keys})
+
+
+def _cls_of(batch) -> np.ndarray:
+    """Shape-category ids: the ``cls`` entry when the dataset emits one, else
+    recovered from the h5 variant's per-point category one-hot features."""
+    if "cls" in batch:
+        return np.asarray(batch["cls"]).reshape(-1)
+    return np.asarray(batch["x"])[:, 0, :16].argmax(-1)
 
 
 def evaluate(eval_step, variables, loader, cfg) -> Dict[str, float]:
@@ -71,11 +85,12 @@ def evaluate(eval_step, variables, loader, cfg) -> Dict[str, float]:
     pending = []                       # (pred_dev, cls_host, y_host, pos_host)
     for batch in loader:
         dev = _batch(batch, jax.device_put)
+        cls_h = _cls_of(batch)
         logits = eval_step(variables, dev)
         if category_mask:
-            logits = logits + mask[jnp.asarray(batch["cls"]).reshape(-1)][:, None, :]
+            logits = logits + mask[jnp.asarray(cls_h)][:, None, :]
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        pending.append((pred, np.asarray(batch["cls"]).reshape(-1),
+        pending.append((pred, cls_h,
                         np.asarray(batch["y"]), np.asarray(batch["pos"])))
     ins_mious, cats = [], []
     for pred, cls_h, y_h, pos_h in pending:
@@ -97,6 +112,9 @@ def evaluate(eval_step, variables, loader, cfg) -> Dict[str, float]:
 
 
 def main(cfg):
+    from ..core.logger import setup_logger_dist
+    setup_logger_dist(cfg.get("log_path"), jax.process_index(),
+                      name="geot_tpu")
     set_random_seed(int(cfg.get("seed", 0)))
     run_dir = cfg.get("run_dir")
     writer = SummaryWriter(run_dir) if run_dir else None

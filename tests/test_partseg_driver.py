@@ -93,6 +93,31 @@ def test_partseg_eval_category_mask(tmp_path):
         assert set(np.where(np.isfinite(m[c]))[0].tolist()) == set(parts)
 
 
+def test_partseg_eval_h5_variant(tmp_path):
+    """The h5 ``ShapeNetPart`` dataset emits no ``cls`` key (category rides
+    as a one-hot feature); eval recovers the category from the features."""
+    import jax
+
+    from geot_tpu.engine.partseg import _batch, evaluate
+    from geot_tpu.engine.steps import make_eval_step
+    from geot_tpu.data import build_dataloader_from_cfg
+    from geot_tpu.models import build_model_from_cfg
+
+    cfg = _cfg(["dataset.common.NAME=ShapeNetPart",
+                "model.encoder_args.in_channels=16",
+                "dataset.common.num_points=512"])
+    loader = build_dataloader_from_cfg(4, cfg.dataset, split="test")
+    batch = next(iter(loader))
+    assert "cls" not in batch
+    model = build_model_from_cfg(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        _batch(batch, jax.device_put))
+    m = evaluate(make_eval_step(model), variables, loader, cfg)
+    assert np.isfinite(m["ins_miou"])
+
+
 def test_partseg_cli_dispatch():
     """``task: partseg`` routes the train CLI to the partseg driver."""
     cfg = EasyConfig()
