@@ -118,6 +118,45 @@ def test_partseg_eval_h5_variant(tmp_path):
     assert np.isfinite(m["ins_miou"])
 
 
+def test_partseg_pointmlp_config_steps():
+    """The PointMLP part-seg config jits one supervised step + eval through
+    the engine (tiny shrink overrides, synthetic data)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geot_tpu.engine.partseg import _batch, evaluate
+    from geot_tpu.engine.state import TrainState
+    from geot_tpu.engine.steps import make_eval_step, make_supervised_step
+    from geot_tpu.data import build_dataloader_from_cfg
+    from geot_tpu.models import build_model_from_cfg
+    from geot_tpu.optim import build_optimizer_from_cfg
+
+    cfg = EasyConfig()
+    cfg.load(str(ROOT / "cfgs/shapenetpart/pointmlppart.yaml"),
+             recursive=True)
+    cfg.update([
+        "dataset.common.num_points=256", "model.embed_dim=8",
+        "model.dim_expansion=[2,2]", "model.pre_blocks=[1,1]",
+        "model.pos_blocks=[1,1]", "model.k_neighbors=[8,8]",
+        "model.reducers=[4,4]", "model.de_dims=[16,16]",
+        "model.de_blocks=[1,1]", "model.gmp_dim=8", "model.cls_dim=8",
+        "seed=0",
+    ])
+    loader = build_dataloader_from_cfg(4, cfg.dataset, split="trainval")
+    model = build_model_from_cfg(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    batch = _batch(next(iter(loader)), jax.device_put)
+    variables = jax.jit(model.init)(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, batch)
+    tx = build_optimizer_from_cfg(None, lr=1e-3, **cfg.optimizer)
+    state = TrainState.create(variables, tx)
+    step = make_supervised_step(model, tx, cfg)
+    state, metrics = step(state, batch, jnp.asarray(1e-3))
+    assert np.isfinite(float(metrics["loss"]))
+    m = evaluate(make_eval_step(model), state.variables, loader, cfg)
+    assert np.isfinite(m["ins_miou"])
+
+
 def test_partseg_cli_dispatch():
     """``task: partseg`` routes the train CLI to the partseg driver."""
     cfg = EasyConfig()
