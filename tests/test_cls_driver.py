@@ -79,6 +79,64 @@ def test_cls_eval_counts():
     assert abs(m["macc"] - 100.0 / 3) < 1e-6
 
 
+import pytest
+
+CLS_TINY = {
+    "pointnet2cls.yaml": [
+        "model.encoder_args.width=8", "model.encoder_args.num_samples=8",
+        "model.encoder_args.strides=[4,4]", "model.encoder_args.blocks=[1,1]",
+        "model.cls_args.mlps=[32]",
+    ],
+    "dgcnncls.yaml": [
+        "model.encoder_args.channels=8", "model.encoder_args.embed_dim=32",
+        "model.encoder_args.n_blocks=3", "model.encoder_args.k=8",
+        "model.cls_args.mlps=[32]",
+    ],
+    "pointmlpcls.yaml": [
+        "model.encoder_args.embed_dim=8",
+        "model.encoder_args.dim_expansion=[2,2]",
+        "model.encoder_args.pre_blocks=[1,1]",
+        "model.encoder_args.pos_blocks=[1,1]",
+        "model.encoder_args.k_neighbors=[8,8]",
+        "model.encoder_args.reducers=[4,4]",
+        "model.cls_args.mlps=[32]",
+    ],
+}
+
+
+@pytest.mark.parametrize("cfg_name", sorted(CLS_TINY))
+def test_cls_config_steps(cfg_name):
+    """Every cls-zoo config jits one supervised step + eval through the
+    engine (tiny shrink overrides, synthetic data)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geot_tpu.engine.cls import _batch, evaluate
+    from geot_tpu.engine.state import TrainState
+    from geot_tpu.engine.steps import make_eval_step, make_supervised_step
+    from geot_tpu.data import build_dataloader_from_cfg
+    from geot_tpu.models import build_model_from_cfg
+    from geot_tpu.optim import build_optimizer_from_cfg
+
+    cfg = EasyConfig()
+    cfg.load(str(ROOT / "cfgs/scanobjectnn" / cfg_name), recursive=True)
+    cfg.update(CLS_TINY[cfg_name]
+               + ["dataset.common.num_points=256", "seed=0"])
+    loader = build_dataloader_from_cfg(4, cfg.dataset, split="test")
+    model = build_model_from_cfg(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    batch = _batch(next(iter(loader)), jax.device_put)
+    variables = jax.jit(model.init)(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, batch)
+    tx = build_optimizer_from_cfg(None, lr=1e-3, **cfg.optimizer)
+    state = TrainState.create(variables, tx)
+    step = make_supervised_step(model, tx, cfg)
+    state, metrics = step(state, batch, jnp.asarray(1e-3))
+    assert np.isfinite(float(metrics["loss"]))
+    m = evaluate(make_eval_step(model), state.variables, loader, cfg)
+    assert np.isfinite(m["oa"]) and np.isfinite(m["macc"])
+
+
 def test_cls_cli_dispatch():
     cfg = EasyConfig()
     cfg.load(str(ROOT / "cfgs/scanobjectnn/default.yaml"), recursive=True)
