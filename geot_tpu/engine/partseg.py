@@ -81,6 +81,15 @@ def evaluate(eval_step, variables, loader, cfg) -> Dict[str, float]:
     pipelines with loading."""
     category_mask = bool(cfg.get("eval_category_mask", False))
     refine = bool(cfg.get("eval_refine", False))
+    # multihead datasets emit per-category-offset labels (reference
+    # ``shapenetpart.py`` multihead=True); get_ins_mious scores part indices
+    # 0..len(parts)-1 then
+    multihead = bool(dict(cfg.get("dataset", {}).get("common", {}))
+                     .get("multihead", False)) if cfg.get("dataset") else False
+    if multihead:
+        # per-category-offset labels: the global-part-id mask/refinement
+        # passes don't apply
+        category_mask = refine = False
     mask = jnp.asarray(_part_mask(int(cfg.get("num_classes", 50))))
     pending = []                       # (pred_dev, cls_host, y_host, pos_host)
     for batch in loader:
@@ -97,7 +106,8 @@ def evaluate(eval_step, variables, loader, cfg) -> Dict[str, float]:
         p = np.asarray(pred)
         if refine:
             p = part_seg_refinement(p, pos_h, cls_h, SHAPENETPART_CLS2PARTS)
-        ins_mious.extend(get_ins_mious(p, y_h, cls_h, SHAPENETPART_CLS2PARTS))
+        ins_mious.extend(get_ins_mious(p, y_h, cls_h, SHAPENETPART_CLS2PARTS,
+                                       multihead=multihead))
         cats.extend(cls_h.tolist())
     cats = np.asarray(cats)
     per_cat = {}

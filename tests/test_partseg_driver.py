@@ -118,6 +118,31 @@ def test_partseg_eval_h5_variant(tmp_path):
     assert np.isfinite(m["ins_miou"])
 
 
+def test_partseg_eval_multihead(tmp_path):
+    """multihead datasets (per-category label offsets) score through
+    get_ins_mious(multihead=True); global-id mask/refine are auto-disabled."""
+    import jax
+
+    from geot_tpu.engine.partseg import _batch, evaluate
+    from geot_tpu.engine.steps import make_eval_step
+    from geot_tpu.data import build_dataloader_from_cfg
+    from geot_tpu.models import build_model_from_cfg
+
+    cfg = _cfg(["dataset.common.multihead=True",
+                "eval_category_mask=True", "eval_refine=True"])
+    loader = build_dataloader_from_cfg(4, cfg.dataset, split="test")
+    batch = next(iter(loader))
+    # offsets applied: every label < its category's part count (max 6)
+    assert np.asarray(batch["y"]).max() < 6
+    model = build_model_from_cfg(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        _batch(batch, jax.device_put))
+    m = evaluate(make_eval_step(model), variables, loader, cfg)
+    assert np.isfinite(m["ins_miou"])
+
+
 def test_partseg_pointmlp_config_steps():
     """The PointMLP part-seg config jits one supervised step + eval through
     the engine (tiny shrink overrides, synthetic data)."""
