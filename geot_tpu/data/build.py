@@ -140,11 +140,18 @@ def _shard_info(distributed: bool):
 def build_dataloader_from_cfg(batch_size: int, dataset_cfg,
                               dataloader_cfg=None, datatransforms_cfg=None,
                               split: str = "train", distributed: bool = False,
-                              pretrain: bool = False, seed: int = 0):
+                              pretrain: bool = False, seed: int = 0,
+                              is_train: bool | None = None):
     """Reference ``openpoints/dataset/build.py:67-126``: select the transform
-    pipeline for the split, build the dataset with it, wrap in a loader."""
+    pipeline for the split, build the dataset with it, wrap in a loader.
+
+    ``is_train`` controls shuffle/drop_last/transform selection explicitly;
+    when None it is inferred from the split name (``trainval`` counts as a
+    training split — ShapeNetPart's standard training split)."""
+    if is_train is None:
+        is_train = split in ("train", "training", "trainval")
     if datatransforms_cfg is not None:
-        trans_split = "train" if split in ("train", "training") else "val"
+        trans_split = "train" if is_train else "val"
         transform = build_transforms_from_cfg(
             split if split in datatransforms_cfg else trans_split,
             datatransforms_cfg)
@@ -159,7 +166,7 @@ def build_dataloader_from_cfg(batch_size: int, dataset_cfg,
 
     shards, shard_idx = _shard_info(distributed)
     num_workers = (dataloader_cfg or {}).get("num_workers", 4)
-    shuffle = split in ("train", "training")
+    shuffle = bool(is_train)
     mixers = [t for t in (transform.transforms if transform else [])
               if hasattr(t, "mix_batch")]
     return DataLoader(dataset, batch_size, shuffle=shuffle, drop_last=shuffle,

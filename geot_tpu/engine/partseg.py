@@ -69,9 +69,15 @@ def evaluate(eval_step, variables, loader, cfg) -> Dict[str, float]:
     refine = bool(cfg.get("eval_refine", False))
     # multihead datasets emit per-category-offset labels (reference
     # ``shapenetpart.py`` multihead=True); get_ins_mious scores part indices
-    # 0..len(parts)-1 then
-    multihead = bool(dict(cfg.get("dataset", {}).get("common", {}))
-                     .get("multihead", False)) if cfg.get("dataset") else False
+    # 0..len(parts)-1 then.  Merge common with the val-split cfg — same
+    # precedence as build_dataloader_from_cfg — so a per-split setting
+    # (dataset.test.multihead) is honoured.
+    multihead = False
+    if cfg.get("dataset"):
+        ds = cfg.get("dataset", {})
+        merged = dict(ds.get("common", {}))
+        merged.update(dict(ds.get(ds.get("val_split", "test"), {}) or {}))
+        multihead = bool(merged.get("multihead", False))
     if multihead:
         # per-category-offset labels: the global-part-id mask/refinement
         # passes don't apply

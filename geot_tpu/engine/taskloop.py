@@ -43,15 +43,19 @@ def run(cfg, *, task: str, batch_fn: Callable, evaluate_fn: Callable,
     run_dir = cfg.get("run_dir")
     writer = SummaryWriter(run_dir) if run_dir else None
 
+    # the configured training split IS a training split regardless of its
+    # name (e.g. ShapeNetPart's 'trainval'): shuffle/drop_last/train
+    # transforms follow the role, not the split string
     train_loader = build_dataloader_from_cfg(
         int(cfg.get("batch_size", 8)), cfg.dataset, cfg.get("dataloader"),
         cfg.get("datatransforms"),
         split=cfg.dataset.get("train_split", default_train_split),
-        seed=int(cfg.get("seed", 0)))
+        seed=int(cfg.get("seed", 0)), is_train=True)
     val_loader = build_dataloader_from_cfg(
         int(cfg.get("batch_size_val", cfg.get("batch_size", 8))),
         cfg.dataset, cfg.get("dataloader"), cfg.get("datatransforms"),
-        split=cfg.dataset.get("val_split", default_val_split))
+        split=cfg.dataset.get("val_split", default_val_split),
+        is_train=False)
     logger.info(f"{task} datasets: train={len(train_loader.dataset)} "
                 f"val={len(val_loader.dataset)}")
 
@@ -73,8 +77,14 @@ def run(cfg, *, task: str, batch_fn: Callable, evaluate_fn: Callable,
     if mode in ("val", "test", "eval", "testing", "evaluation"):
         from .checkpoint import load_variables
         pretrained = cfg.get("pretrained_path")
-        if pretrained:
-            variables = load_variables(pretrained)
+        if not pretrained:
+            # scoring a freshly initialized model would produce
+            # legitimate-looking metrics from random weights — refuse, like
+            # the mode=resume branch does
+            raise FileNotFoundError(
+                f"mode={mode} requires pretrained_path pointing at a "
+                f"checkpoint; got {pretrained!r}")
+        variables = load_variables(pretrained)
         metrics = evaluate_fn(eval_step, variables, val_loader, cfg)
         logger.info("eval: " + " ".join(
             f"{k} {metrics[k]:.2f}" for k in metric_names))

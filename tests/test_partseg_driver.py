@@ -193,3 +193,63 @@ def test_partseg_cli_dispatch():
 
     src = inspect.getsource(train_mod.parse_and_run)
     assert "partseg" in src
+
+
+def test_trainval_is_training_split():
+    """ADVICE r3 (high): the configured training split is a training split —
+    'trainval' gets shuffle/drop_last/train transforms, not the val pipeline
+    (taskloop passes is_train=True; bare name inference also covers it)."""
+    from geot_tpu.data import build_dataloader_from_cfg
+
+    cfg = _cfg()
+    loader = build_dataloader_from_cfg(4, cfg.dataset, split="trainval")
+    assert loader.shuffle and loader.drop_last
+    # explicit override wins in both directions
+    loader = build_dataloader_from_cfg(4, cfg.dataset, split="trainval",
+                                       is_train=False)
+    assert not loader.shuffle and not loader.drop_last
+    loader = build_dataloader_from_cfg(4, cfg.dataset, split="test",
+                                       is_train=True)
+    assert loader.shuffle and loader.drop_last
+    # shuffled loaders reorder across epochs (identical batches every epoch
+    # was the original bug)
+    loader = build_dataloader_from_cfg(4, cfg.dataset, split="trainval")
+    loader.set_epoch(1)
+    a = loader._epoch_indices().tolist()
+    loader.set_epoch(2)
+    b = loader._epoch_indices().tolist()
+    assert a != b and sorted(a) == sorted(b)
+
+
+def test_eval_mode_requires_pretrained(tmp_path):
+    """ADVICE r3 (medium): eval modes refuse to score a freshly initialized
+    model when pretrained_path is missing."""
+    import pytest
+
+    from geot_tpu.engine.partseg import main
+
+    with pytest.raises(FileNotFoundError, match="pretrained_path"):
+        main(_cfg(["mode=test"]))
+
+
+def test_multihead_per_split_detection(tmp_path):
+    """ADVICE r3 (low): dataset.test.multihead=True (per-split) is honoured
+    by eval, same precedence as build_dataloader_from_cfg."""
+    import jax
+
+    from geot_tpu.engine.partseg import _batch, evaluate
+    from geot_tpu.engine.steps import make_eval_step
+    from geot_tpu.data import build_dataloader_from_cfg
+    from geot_tpu.models import build_model_from_cfg
+
+    cfg = _cfg(["dataset.test.multihead=True"])
+    loader = build_dataloader_from_cfg(4, cfg.dataset, split="test")
+    batch = next(iter(loader))
+    assert np.asarray(batch["y"]).max() < 6      # offsets applied
+    model = build_model_from_cfg(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        _batch(batch, jax.device_put))
+    m = evaluate(make_eval_step(model), variables, loader, cfg)
+    assert np.isfinite(m["ins_miou"])
