@@ -87,14 +87,31 @@ class DataLoader:
         idx = np.arange(n)
         if self.shuffle:
             idx = np.random.default_rng(self.seed + self.epoch).permutation(n)
-        if self.num_shards > 1 and n % self.num_shards:
-            # pad by wrapping so every shard sees the same count — torch
-            # DistributedSampler semantics (reference ``build.py:107``).
-            # Unequal shard lengths would desync the per-host loop of a
-            # multi-host sharded jit (collective deadlock on the last batch).
-            pad = self.num_shards - n % self.num_shards
-            idx = np.concatenate([idx, idx[:pad]])
-        return idx[self.shard_index::self.num_shards]
+        if self.num_shards > 1:
+            # BLOCK-shard each global batch: host h takes rows
+            # [h*B_local, (h+1)*B_local) of every global-batch-sized chunk,
+            # so the cross-process assembled global batch
+            # (``parallel.shard_batch(host_local=True)`` concatenates host
+            # blocks in process order) reproduces the single-process batch
+            # row-for-row — multi-host trajectories equal single-process
+            # ones bit-for-bit (tests/test_multiprocess_dist.py).  torch's
+            # DistributedSampler uses strided sharding (``build.py:107``),
+            # but its global batch order is irrelevant under DDP averaging;
+            # here the order IS the global array layout.
+            gb = self.batch_size * self.num_shards
+            if self.drop_last:
+                # same batches as a single-process loader with drop_last:
+                # the ragged tail is dropped
+                idx = idx[:len(idx) - len(idx) % gb]
+            elif len(idx) % gb:
+                # wrap-pad to a full global batch so every shard sees the
+                # same count (unequal per-host batch counts would deadlock
+                # a multi-host sharded step on the last batch)
+                pad = gb - len(idx) % gb
+                idx = np.concatenate([idx, idx[:pad]])
+            chunks = idx.reshape(-1, self.num_shards, self.batch_size)
+            return chunks[:, self.shard_index, :].reshape(-1)
+        return idx
 
     def __len__(self) -> int:
         n = len(self._epoch_indices())
@@ -137,6 +154,20 @@ def _shard_info(distributed: bool):
     return jax.process_count(), jax.process_index()
 
 
+def _host_batch_size(batch_size: int, shards: int) -> int:
+    """Config batch sizes are GLOBAL (the single-process GSPMD semantics);
+    with per-host loader shards each host loads its 1/shards slice of every
+    global batch (reference ``DistributedSampler``: per-rank batches concat
+    to the global batch)."""
+    if shards <= 1:
+        return batch_size
+    if batch_size % shards:
+        raise ValueError(
+            f"global batch_size={batch_size} not divisible by "
+            f"{shards} processes")
+    return batch_size // shards
+
+
 def build_dataloader_from_cfg(batch_size: int, dataset_cfg,
                               dataloader_cfg=None, datatransforms_cfg=None,
                               split: str = "train", distributed: bool = False,
@@ -165,6 +196,7 @@ def build_dataloader_from_cfg(batch_size: int, dataset_cfg,
     dataset = build_dataset_from_cfg(cfg, {"transform": transform})
 
     shards, shard_idx = _shard_info(distributed)
+    batch_size = _host_batch_size(batch_size, shards)
     num_workers = (dataloader_cfg or {}).get("num_workers", 4)
     shuffle = bool(is_train)
     mixers = [t for t in (transform.transforms if transform else [])
@@ -192,6 +224,7 @@ def build_semi_dataloader_from_cfg(batch_size: int, dataset_cfg,
         cfg, {"transform_w": transform_w, "transform_s": transform_s})
 
     shards, shard_idx = _shard_info(distributed)
+    batch_size = _host_batch_size(batch_size, shards)
     num_workers = (dataloader_cfg or {}).get("num_workers", 4)
     return DataLoader(dataset, batch_size, shuffle=True, drop_last=True,
                       num_workers=num_workers, seed=seed + 1,

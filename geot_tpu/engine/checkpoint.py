@@ -95,7 +95,24 @@ def save_checkpoint(cfg, state, epoch: int, additional_dict: Optional[Dict] = No
             mile = _ckpt_path(ckpt_dir, run_name, f"E{epoch}")
             if not os.path.exists(mile):
                 shutil.copytree(latest, mile)
+    _sync_processes("geot_ckpt_commit")
     return latest
+
+
+def _sync_processes(name: str):
+    """Barrier after primary-only host file ops.  Without it, non-primary
+    processes race ahead of the primary's latest/best swaps, so shared-fs
+    existence checks (e.g. the best-ckpt reload before test eval,
+    ``train.py`` test_freq block) disagree across hosts — and any
+    path-conditional device_put/collective sequence then desyncs the
+    processes (observed as a Gloo size-mismatch crash in the 2-process
+    integration test)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
 
 
 def load_checkpoint(path: str, template_state,

@@ -181,7 +181,19 @@ def validate(eval_step, variables, val_loader, cfg, logger=None,
         stored = getattr(val_loader, "_geot_eval_cache", None)
         if stored is not None and stored[0] == cache_key:
             cache = stored[1]
-    if mesh is not None:
+    if mesh is not None and jax.process_count() > 1:
+        # multi-host: every host runs validate in lockstep on the UNSHARDED
+        # val loader (identical global batches).  Batches are replicated on
+        # the global mesh (dp-sharding them would leave per-scan logit rows
+        # on non-addressable devices), and the per-scan upsample programs
+        # round-robin over this host's addressable devices only.
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(mesh, PartitionSpec())
+        put_model = lambda d: jax.tree_util.tree_map(        # noqa: E731
+            lambda x: jax.device_put(x, rep), d)
+        devs = [d for d in mesh.devices.flat
+                if d.process_index == jax.process_index()]
+    elif mesh is not None:
         from ..parallel import shard_batch
         put_model = lambda d: shard_batch(d, mesh)          # noqa: E731
         devs = list(mesh.devices.flat)
@@ -252,6 +264,11 @@ def validate(eval_step, variables, val_loader, cfg, logger=None,
             if s.get("device") is not None:
                 # colocate the forward output row with the sample's device so
                 # the per-scan program runs there (round-robin concurrency)
+                if jax.process_count() > 1:
+                    # a multi-host (replicated) array is not "fully
+                    # addressable", which device_put requires — hop through
+                    # the host's local replica
+                    probs_i = jax.device_get(probs_i)
                 probs_i = jax.device_put(probs_i, s["device"])
             cm = _upsample_cm(probs_i, s["pos"], s["full"], s["center"],
                               s["scale"], s["labels"], s["n_valid"],

@@ -22,6 +22,12 @@ here and documented — same policy as the cm-bootstrap row-indexing fix):
    already-processed classes — making class_T depend on the class iteration
    order.  Here the zeroing affects only anchor SELECTION; the gathered
    anchor row is the unmutated softmax.
+
+Both bugs can be REPRODUCED with ``cfg.reference_bugs: true`` (plumbed
+through ``steps.make_semi_step`` -> ``ntm_update(reference_bugs=True)``) so
+step-for-step trajectory comparison against a real torch run is possible if
+a torch environment ever materialises (VERDICT r3 #8); the torch-loop oracle
+test is ``tests/test_reference_bugs_compat.py``.
 """
 from __future__ import annotations
 
@@ -41,23 +47,51 @@ _PROJ_D2 = (LABEL_PROJ[:, None].astype(np.float32) -
 
 
 def estimate_class_T(probs_u: jnp.ndarray, filter_outlier: bool = False,
-                     quantile: float = 0.97) -> jnp.ndarray:
+                     quantile: float = 0.97,
+                     reference_bugs: bool = False) -> jnp.ndarray:
     """Anchor-point class transition matrix: row c is the softmax row of the
     most-confident point for class c (reference ``train.py:506-526``).
 
     probs_u: (B, N, C) weak-view softmax probabilities (already detached).
-    """
+
+    ``reference_bugs=True`` reproduces the reference's ``filter_outlier``
+    view-mutation (``train.py:511-513``): the class-cc iteration zeroes
+    ``eta_corr[:, cc, :]`` in place, so the row gathered for class cc
+    carries zeros at every already-processed class cc' <= cc where that
+    anchor point's probability exceeded cc'-s quantile.  Anchor SELECTION
+    is unaffected (each column is mutated exactly once, before its own
+    argmax) — only the gathered rows differ."""
     C = probs_u.shape[-1]
     flat = probs_u.reshape(-1, C)                               # (M, C)
     scores = flat
     if filter_outlier:
         thresh = jnp.quantile(flat, quantile, axis=0, keepdims=True)
-        scores = jnp.where(flat >= thresh, 0.0, flat)
+        zero_mask = flat >= thresh
+        scores = jnp.where(zero_mask, 0.0, flat)
     idx_best = jnp.argmax(scores, axis=0)                        # (C,)
-    return flat[idx_best]                                        # (C, C)
+    rows = flat[idx_best]                                        # (C, C)
+    if filter_outlier and reference_bugs:
+        mask_rows = zero_mask[idx_best]                          # (C, C)
+        col = jnp.arange(C)[None, :]
+        row = jnp.arange(C)[:, None]
+        rows = jnp.where(mask_rows & (col <= row), 0.0, rows)
+    return rows
 
 
-def gaussian_prior_T(sigma: jnp.ndarray) -> jnp.ndarray:
+def _row_normalize(x: jnp.ndarray, reference_bugs: bool = False):
+    """Transition-matrix row normalisation.
+
+    The reference's ``x / torch.sum(x, 1)`` (train.py:538,541,544,558) is
+    missing ``keepdim=True``: the (C,) row-sum vector broadcasts over the
+    LAST axis, dividing entry [i, j] by row j's sum instead of row i's.
+    ``reference_bugs=True`` reproduces that for trajectory-level comparison
+    against a real torch run; default is the correct row normalisation."""
+    s = jnp.sum(x, axis=1)
+    return x / s[None, :] if reference_bugs else x / s[:, None]
+
+
+def gaussian_prior_T(sigma: jnp.ndarray,
+                     reference_bugs: bool = False) -> jnp.ndarray:
     """Geometry prior: row c is a gaussian over projected-label distance with
     the model's learnable per-class sigma (reference ``train.py:528-538``).
     Row 0 (gum) is the delta at [0,0]; column 0 is zeroed for teeth rows."""
@@ -68,7 +102,7 @@ def gaussian_prior_T(sigma: jnp.ndarray) -> jnp.ndarray:
     prior = prior.at[:, 0].set(0.0)
     prior = prior.at[0, :].set(0.0)
     prior = prior.at[0, 0].set(1.0)
-    return prior / jnp.sum(prior, axis=1, keepdims=True)
+    return _row_normalize(prior, reference_bugs)
 
 
 class NTMUpdate(NamedTuple):
@@ -79,7 +113,8 @@ class NTMUpdate(NamedTuple):
 
 def ntm_update(ema_t: jnp.ndarray, probs_u: jnp.ndarray, sigma: jnp.ndarray,
                geo_lambda: float = 0.999, ema_t_decay: float = 0.999,
-               filter_outlier: bool = False) -> NTMUpdate:
+               filter_outlier: bool = False,
+               reference_bugs: bool = False) -> NTMUpdate:
     """One step of the NTM state machine (reference ``train.py:505-557``):
 
     - ``class_T`` from the batch anchors,
@@ -87,18 +122,25 @@ def ntm_update(ema_t: jnp.ndarray, probs_u: jnp.ndarray, sigma: jnp.ndarray,
       with row 0 taken from class_T, row-normalised,
     - ``ema_t_corr`` = EMA(ema_t, new_T) — differentiable through sigma,
     - persistent ``ema_t`` = EMA(ema_t, class_T) — stop-gradient.
+
+    ``reference_bugs=True`` (cfg flag of the same name) reproduces the two
+    documented reference bugs — broadcast row normalisation and the
+    filter_outlier view mutation — for step-for-step trajectory comparison
+    against a real torch run (VERDICT r3 #8).
     """
-    class_T = jax.lax.stop_gradient(estimate_class_T(probs_u, filter_outlier))
-    prior_T = gaussian_prior_T(sigma)
+    class_T = jax.lax.stop_gradient(
+        estimate_class_T(probs_u, filter_outlier,
+                         reference_bugs=reference_bugs))
+    prior_T = gaussian_prior_T(sigma, reference_bugs)
     new_T = geo_lambda * class_T + (1.0 - geo_lambda) * prior_T
     new_T = new_T.at[0].set(class_T[0])
-    new_T = new_T / jnp.sum(new_T, axis=1, keepdims=True)
+    new_T = _row_normalize(new_T, reference_bugs)
 
     ema_t_corr = ema_t * ema_t_decay + new_T * (1.0 - ema_t_decay)
-    ema_t_corr = ema_t_corr / jnp.sum(ema_t_corr, axis=1, keepdims=True)
+    ema_t_corr = _row_normalize(ema_t_corr, reference_bugs)
 
     new_ema_t = ema_t * ema_t_decay + class_T * (1.0 - ema_t_decay)
-    new_ema_t = new_ema_t / jnp.sum(new_ema_t, axis=1, keepdims=True)
+    new_ema_t = _row_normalize(new_ema_t, reference_bugs)
     return NTMUpdate(ema_t=jax.lax.stop_gradient(new_ema_t),
                      ema_t_corr=ema_t_corr, class_T=class_T)
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -183,8 +184,20 @@ def _parse_body(body: bytes) -> np.ndarray:
     return pts
 
 
+# request hardening: a single oversized POST must not be able to exhaust
+# host memory, and a stalled/truncated upload must not pin a worker thread
+# forever.  64 MiB covers any realistic scan (a 1M-point f32 .npy is 12 MB).
+MAX_BODY_BYTES = int(os.environ.get("GEOT_SERVE_MAX_BODY", 64 << 20))
+READ_TIMEOUT_S = float(os.environ.get("GEOT_SERVE_READ_TIMEOUT", 30))
+
+
 def make_handler(service: _Service):
     class Handler(BaseHTTPRequestHandler):
+        # socket timeout for the whole request read (header + body): a
+        # Content-Length lie with a stalled body times out instead of
+        # blocking the thread indefinitely
+        timeout = READ_TIMEOUT_S
+
         def log_message(self, *a):  # quiet; the service logs via responses
             pass
 
@@ -217,12 +230,33 @@ def make_handler(service: _Service):
             if url.path != "/predict":
                 self._send(404, {"error": "unknown path"})
                 return
+            cl = self.headers.get("Content-Length")
+            if cl is None:
+                self._send(411, {"error": "Content-Length required"})
+                return
+            try:
+                length = int(cl)
+            except ValueError:
+                self._send(400, {"error": f"bad Content-Length: {cl!r}"})
+                return
+            if length < 0:
+                self._send(400, {"error": f"bad Content-Length: {cl!r}"})
+                return
+            if length > MAX_BODY_BYTES:
+                # reject BEFORE reading: the cap is what protects host
+                # memory from an oversized (or lying) header
+                self._send(413, {"error": f"body {length} bytes exceeds "
+                                          f"limit {MAX_BODY_BYTES}"})
+                return
             try:
                 jaw_s = parse_qs(url.query).get("jaw", ["lower"])[0]
                 if jaw_s not in ("lower", "upper"):
                     raise ValueError(f"jaw must be lower|upper, got {jaw_s!r}")
                 jaw = 0 if jaw_s == "lower" else 1
-                body = self.rfile.read(int(self.headers["Content-Length"]))
+                body = self.rfile.read(length)
+                if len(body) != length:
+                    raise ValueError(
+                        f"truncated body: got {len(body)} of {length} bytes")
                 points = _parse_body(body)
                 t0 = time.time()
                 labels = service.predict(points, jaw)

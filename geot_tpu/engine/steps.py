@@ -166,6 +166,10 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
     geo_lambda = float(cfg.get("geo_lambma", 0.999))
     ema_t_decay = float(cfg.get("ema_t_decay", 0.999))
     filter_outlier = bool(cfg.get("filter_outlier", False))
+    # reproduce the reference's two documented NTM bugs (broadcast row
+    # normalisation + filter_outlier view mutation) for trajectory-level
+    # comparison against a real torch run — see engine/semi.py
+    reference_bugs = bool(cfg.get("reference_bugs", False))
 
     use_feat = bool(cfg.get("use_feat_loss", False))
     feat_loss = feature_space_loss(int(cfg.get("feat_k", 16)),
@@ -230,7 +234,8 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
             # --- NTM state machine -----------------------------------------
             ntm = ntm_update(state.ema_t, probs_w, sigma,
                              geo_lambda=geo_lambda, ema_t_decay=ema_t_decay,
-                             filter_outlier=filter_outlier)
+                             filter_outlier=filter_outlier,
+                             reference_bugs=reference_bugs)
             probs_s = jax.nn.softmax(pred_u_strong, axis=-1)
             ins_T = t_predictor.apply({"params": t_params},
                                       jax.lax.stop_gradient(probs_s), state.cm)

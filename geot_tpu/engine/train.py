@@ -78,18 +78,22 @@ def device_prefetch(host_iter, put_fn, depth: int | None = None):
         pool.shutdown(wait=False)
 
 
-def make_device_put(mesh):
+def make_device_put(mesh, host_local: bool = False):
     """Host->device batch placement. With a mesh, numpy batches are laid out
     dp-sharded directly (no device-0 staging hop); without one, plain
     ``jnp.asarray``. The dp-sharded layout replaces the reference's
-    ``DistributedSampler`` + DDP input scatter (``train.py:159-166``)."""
+    ``DistributedSampler`` + DDP input scatter (``train.py:159-166``).
+
+    ``host_local=True`` (multi-process runs): each process holds only its
+    per-host loader shard of the global batch; the global array is assembled
+    across processes (see ``parallel.shard_batch``)."""
     import jax
     import jax.numpy as jnp
 
     if mesh is None:
         return lambda d: jax.tree_util.tree_map(jnp.asarray, d)
     from ..parallel import shard_batch
-    return lambda d: shard_batch(d, mesh)
+    return lambda d: shard_batch(d, mesh, host_local=host_local)
 
 
 def place_variables(variables, mesh):
@@ -146,13 +150,25 @@ def main(cfg: EasyConfig) -> dict:
     # Multi-host: the reference spawns one DDP process per GPU
     # (``train.py:957-963`` mp.spawn + init_process_group); on TPU pods the
     # analog is one process per host joined via jax.distributed.
-    if cfg.get("jax_distributed"):
-        jax.distributed.initialize()
+    jd = cfg.get("jax_distributed")
+    if jd and not jax.distributed.is_initialized():
+        # True: auto-detect (TPU pods); dict: explicit coordinator —
+        # {coordinator_address, num_processes, process_id} for CPU/GPU
+        # clusters and the 2-process integration test.  NOTE initialize()
+        # must precede ANY backend use, including imports that touch
+        # jax.devices — launchers that import more than this module first
+        # should initialize before importing (see tests/dist_worker.py).
+        jax.distributed.initialize(**(dict(jd) if isinstance(jd, dict)
+                                      else {}))
+    multihost = jax.process_count() > 1
 
     setup_logger_dist(cfg.get("log_path"), jax.process_index(), name="geot_tpu")
     logger = logging.getLogger()
     set_random_seed(cfg.get("seed", 0))
-    writer = SummaryWriter(cfg.get("run_dir")) if cfg.get("run_dir") else None
+    # scalar/TB files are single-writer (reference rank-0 SummaryWriter,
+    # ``train.py:122-124``): concurrent appends from every host would race
+    writer = (SummaryWriter(cfg.get("run_dir"))
+              if cfg.get("run_dir") and jax.process_index() == 0 else None)
     # reference launches wandb with git state + cfg capture (``train.py:122``)
     from .writer import Wandb
     Wandb.launch(cfg, bool(cfg.get("wandb", {}).get("use_wandb", False)))
@@ -166,9 +182,14 @@ def main(cfg: EasyConfig) -> dict:
     # statistics fall out of the sharded jit with no communication code.
     from ..parallel import auto_mesh, shard_state
     mesh = auto_mesh(cfg, logger)
-    put = make_device_put(mesh)
+    put = make_device_put(mesh, host_local=multihost)
 
     # ---- data ----------------------------------------------------------
+    # Multi-host: TRAIN loaders are per-host sharded (each host loads
+    # global_batch/process_count samples of every global batch — reference
+    # ``DistributedSampler``, ``build.py:107``); val/test loaders stay
+    # unsharded so every host scores the full split identically (no
+    # cross-host metric reduction needed).
     val_loader = build_dataloader_from_cfg(
         cfg.get("batch_size_val", 2), cfg.dataset_l, cfg.get("dataloader"),
         cfg.get("datatransforms"), split="val", seed=cfg.get("seed", 0))
@@ -178,12 +199,13 @@ def main(cfg: EasyConfig) -> dict:
     train_loader_l = build_dataloader_from_cfg(
         cfg.get("batch_size_l", cfg.get("batch_size", 2)), cfg.dataset_l,
         cfg.get("dataloader"), cfg.get("datatransforms"), split="train",
-        seed=cfg.get("seed", 0))
+        seed=cfg.get("seed", 0), distributed=multihost)
     train_loader_u = None
     if semi_mode:
         train_loader_u = build_semi_dataloader_from_cfg(
             cfg.get("batch_size_u", 2), cfg.dataset_u, cfg.get("dataloader"),
-            cfg.get("datatransforms"), split="train", seed=cfg.get("seed", 0))
+            cfg.get("datatransforms"), split="train", seed=cfg.get("seed", 0),
+            distributed=multihost)
     logger.info(f"datasets: train_l={len(train_loader_l.dataset)} "
                 f"val={len(val_loader.dataset)} test={len(test_loader.dataset)}"
                 + (f" train_u={len(train_loader_u.dataset)}" if train_loader_u else ""))
@@ -490,6 +512,14 @@ def main(cfg: EasyConfig) -> dict:
                                              _semi_batch(p[1], put))):
                     state, metrics = semi_step(state, dev_l, dev_u, lr,
                                                use_teacher)
+                    if os.environ.get("GEOT_LOG_STEP_LOSS"):
+                        # debug knob: full-precision per-step losses (forces
+                        # a per-step sync — never enable in production runs)
+                        logger.info(
+                            f"steploss {epoch}/{ep_n} "
+                            f"{float(metrics['loss']):.9f} "
+                            f"sup {float(metrics['sup_loss']):.9f} "
+                            f"unsup {float(metrics['unsup_loss']):.9f}")
                     _accum(metrics)
                     host_step += 1
                     timer.tick(host_step, epoch=epoch)

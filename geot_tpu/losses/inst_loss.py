@@ -19,11 +19,23 @@ def _neighbour_weights(anchor_feats, labels, k, sigma, same_val, diff_val):
     d2 the squared feature distance, exactly as ``insT_loss.py:42-49``.
 
     recall_target 0.95: this is a soft gaussian-weighted regularizer, and the
-    relaxed PartialReduce is 3.5x faster at 16k x 16k (measured recall 0.988)."""
-    _, idx = knn(anchor_feats, anchor_feats, k + 1, recall_target=0.95)
+    relaxed PartialReduce is 3.5x faster at 16k x 16k (measured recall 0.988).
+
+    Low-dim (<=4, i.e. the 3d loss): the kNN's own squared distances ARE the
+    d2 this loss needs — ``pairwise_dist2`` takes the same diff-square path,
+    so reusing them is bit-equal and skips the neighbour re-gather +
+    re-compute entirely (-10 ms/step at flagship shapes, measured).
+    High-dim (the feature-space loss): the kNN computes d2 via the MXU
+    |q|^2-2qs+|s|^2 expansion (~5e-4 rel fp drift vs explicit diffs), so
+    the explicit recompute is kept for exact reference semantics."""
+    d2_knn, idx = knn(anchor_feats, anchor_feats, k + 1, squared=True,
+                      recall_target=0.95)
     idx = idx[:, :, 1:]                                     # drop self
-    neigh_feats = grouping_operation(anchor_feats, idx)     # (B,N,k,C)
-    d2 = jnp.sum((anchor_feats[:, :, None, :] - neigh_feats) ** 2, axis=-1)
+    if anchor_feats.shape[-1] <= 4:
+        d2 = d2_knn[:, :, 1:]
+    else:
+        neigh_feats = grouping_operation(anchor_feats, idx)  # (B,N,k,C)
+        d2 = jnp.sum((anchor_feats[:, :, None, :] - neigh_feats) ** 2, axis=-1)
     eij = jnp.exp(-d2 / (2.0 * sigma * sigma))
     neigh_labels = jnp.take_along_axis(labels, idx.reshape(labels.shape[0], -1),
                                        axis=1).reshape(idx.shape)

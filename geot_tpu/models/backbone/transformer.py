@@ -263,17 +263,21 @@ class DGCNNPropagation(nn.Module):
 
 class SegHead(nn.Module):
     """Conv1d(384->128) + BN + Dropout(0.5) + Conv1d(128->C)
-    (reference ``transformer.py:970-975``)."""
+    (reference ``transformer.py:970-975``).  ``dropout`` is configurable
+    (reference-parity default 0.5) — e.g. 0 for deterministic trajectory
+    tests; dropout masks are batch-position-dependent, so any nonzero rate
+    makes the train step depend on row order."""
 
     nclasses: int
     dtype: Any = None
+    dropout: float = 0.5
 
     @nn.compact
     def __call__(self, x, training: bool = False, return_proto: bool = False):
         x = nn.Dense(128, kernel_init=xavier, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not training, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(x)
-        x = nn.Dropout(0.5, deterministic=not training)(x)
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
         dense = nn.Dense(self.nclasses, kernel_init=xavier, name="conv2")
         out = dense(x)
         if return_proto:
@@ -304,6 +308,7 @@ class _PointTransformerSegBase(nn.Module):
     extract_layers: Sequence[int] = (4, 8, 12)
     with_T: bool = False
     head_mode: str = "plain"     # plain | cluster | classifier
+    head_dropout: float = 0.5    # seg-head dropout (reference 0.5)
     dtype: Any = None            # computation dtype (e.g. bf16); params stay f32
     # serving mode: stratified decoder pyramid. False = full FPS run;
     # True = FPS for the num_group tokenizer centers only; int L = FPS for
@@ -405,7 +410,8 @@ class _PointTransformerSegBase(nn.Module):
             prefix_n=self.downsample_targets[0] if perm_full is not None
             else None)
 
-        seg_head = SegHead(self.nclasses, dtype=self.dtype, name="seg_head")
+        seg_head = SegHead(self.nclasses, dtype=self.dtype,
+                           dropout=self.head_dropout, name="seg_head")
         if self.head_mode == "classifier":
             logit, proto = seg_head(f_l0, training=training, return_proto=True)
             # class-prototype features from the (detached, L2-normalised)

@@ -109,7 +109,15 @@ def auto_mesh(cfg, logger=None) -> Mesh | None:
                          f"{len(devices)}-device count")
     dp = len(devices) // (tp * sp)
     bs = int(cfg.get("batch_size_l", cfg.get("batch_size", 0)) or 0)
-    if distributed == "auto" and bs:
+    if jax.process_count() > 1:
+        # multi-process: the mesh must span EVERY process's devices — a
+        # shrunken mesh would leave some hosts owning zero mesh devices
+        # (their host-local batch shards would have nowhere to go)
+        if bs and bs % dp:
+            raise ValueError(
+                f"multi-host run: global batch {bs} must be divisible by "
+                f"dp={dp} (= {len(devices)} devices / tp*sp={tp * sp})")
+    elif distributed == "auto" and bs:
         while dp > 1 and bs % dp:
             dp -= 1
     if dp * sp * tp <= 1:
@@ -182,7 +190,7 @@ def find_free_port() -> int:
         return s.getsockname()[1]
 
 
-def shard_batch(batch, mesh: Mesh):
+def shard_batch(batch, mesh: Mesh, host_local: bool = False):
     """Shard every array's leading (batch) axis over dp, and — when the mesh
     has an ``sp`` axis of size > 1 — its second (point) axis over sp.
 
@@ -190,19 +198,40 @@ def shard_batch(batch, mesh: Mesh):
     (e.g. a short final eval batch over dp, or ``(B, 1)`` jaw-class /
     ``(B, 17)`` class-weight arrays over sp) — correct, just without the
     sharding speedup for that array.
-    """
+
+    ``host_local=True`` is the multi-process path (reference
+    ``DistributedSampler``, ``openpoints/dataset/build.py:107``): each
+    process passes its HOST-LOCAL slice of the global batch (the per-host
+    loader shard) and the global array is assembled across processes with
+    ``jax.make_array_from_process_local_data`` — the global batch axis is
+    ``local_B * process_count``.  With the default ``host_local=False``
+    every process must hold the identical global batch (single-process, or
+    replicated eval batches)."""
     dp = mesh.shape["dp"]
     sp = mesh.shape.get("sp", 1)
+    nproc = jax.process_count() if host_local else 1
 
     def place(leaf):
         ndim = getattr(leaf, "ndim", 0)
         dims = [None] * ndim
-        if ndim >= 1 and leaf.shape[0] % dp == 0:
+        global_b = leaf.shape[0] * nproc if ndim >= 1 else 0
+        if ndim >= 1 and global_b % dp == 0:
             dims[0] = "dp"
+        elif host_local and nproc > 1:
+            # replicating across processes would need an all-gather of
+            # differing host data — a config error, refuse loudly
+            raise ValueError(
+                f"multi-host batch axis {global_b} (= {leaf.shape[0]} "
+                f"local x {nproc} processes) does not divide dp={dp}; "
+                "pick a global batch size divisible by dp")
         if sp > 1 and ndim >= 2 and leaf.shape[1] % sp == 0:
             dims[1] = "sp"
         while dims and dims[-1] is None:
             dims.pop()
-        return jax.device_put(leaf, NamedSharding(mesh, P(*dims)))
+        sharding = NamedSharding(mesh, P(*dims))
+        if host_local and nproc > 1:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(leaf))
+        return jax.device_put(leaf, sharding)
 
     return jax.tree_util.tree_map(place, batch)

@@ -421,9 +421,12 @@ def test_two_shard_loader_disjoint_coverage():
 
 
 def test_uneven_shard_padding_equalizes_lengths():
-    """When len(dataset) % num_shards != 0, shards must wrap-pad to equal
-    length (torch DistributedSampler semantics) — unequal per-host batch
-    counts would deadlock a multi-host sharded step on the last batch."""
+    """When len(dataset) doesn't fill whole global batches, shards either
+    drop the ragged tail (drop_last, matching a single-process loader) or
+    wrap-pad to a full global batch — both keep per-host batch counts equal
+    (unequal counts would deadlock a multi-host sharded step), and the
+    block layout keeps host slices concatenating to the single-process
+    global batch row-for-row."""
     from geot_tpu.data.build import DataLoader
 
     class _Tiny:
@@ -440,9 +443,30 @@ def test_uneven_shard_padding_equalizes_lengths():
     for ld in loaders:
         ld.set_epoch(3)
     i0, i1 = loaders[0]._epoch_indices(), loaders[1]._epoch_indices()
-    assert len(i0) == len(i1) == 17
+    # wrap-pad (drop_last=False): 33 -> 40 (5 global batches of 8), 20/shard
+    assert len(i0) == len(i1) == 20
     assert len(loaders[0]) == len(loaders[1])
     assert set(i0) | set(i1) == set(range(33)), "union still covers"
+
+    # drop_last: ragged tail dropped -> 32 rows, 16/shard, and the block
+    # layout reconstructs the single-process batch order exactly
+    loaders = [DataLoader(ds, batch_size=4, shuffle=True, drop_last=True,
+                          num_workers=1, seed=0, num_shards=2, shard_index=s)
+               for s in (0, 1)]
+    single = DataLoader(ds, batch_size=8, shuffle=True, drop_last=True,
+                        num_workers=1, seed=0)
+    for ld in loaders + [single]:
+        ld.set_epoch(3)
+    i0, i1 = loaders[0]._epoch_indices(), loaders[1]._epoch_indices()
+    # the unsharded loader truncates at batching time, not in
+    # _epoch_indices — compare against its first 4 full batches
+    ref = single._epoch_indices()[:32]
+    assert len(i0) == len(i1) == 16
+    got = []
+    for b in range(4):
+        got.extend(i0[b * 4:(b + 1) * 4])
+        got.extend(i1[b * 4:(b + 1) * 4])
+    assert got == list(ref), "host blocks must concat to the global order"
 
 
 def test_teeth_cls_dataset_payload():

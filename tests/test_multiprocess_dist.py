@@ -1,0 +1,130 @@
+"""Multi-process (multi-host) ``jax.distributed`` integration test.
+
+VERDICT r3 #1: the one distribution axis with zero runtime evidence.  Two
+worker processes (4 CPU devices each -> global dp8 mesh, Gloo collectives)
+run the full semi engine ``main()`` through the real multi-host wiring:
+
+- ``cfg.jax_distributed`` -> ``jax.distributed.initialize`` (engine/train.py)
+- per-host loader shards (``build.py`` ``_host_batch_size`` + block-sharded
+  ``_epoch_indices``) assembled into global batches with
+  ``jax.make_array_from_process_local_data`` (``parallel.shard_batch``) —
+  the host blocks concatenate to the single-process global batch
+  row-for-row
+- process-0-only scalar writer; orbax multi-host-coordinated checkpoints
+  with primary-only file swaps + commit barrier (``engine/checkpoint.py``
+  ``_sync_processes`` — without it the best-ckpt existence check races and
+  desyncs the processes' collective sequences, observed as a Gloo crash)
+- multi-host validate (replicated eval batches, addressable-device
+  round-robin; ``engine/eval.py``)
+
+Tolerances: the FIRST step runs on identical params + identical global
+batches, so its loss must match single-process to collective fp noise
+(measured 2.4e-7 — Gloo's reduction order differs from XLA's in-process
+all-reduce).  Later steps amplify that noise through the semi step's
+discrete structures (anchor argmax, pseudo-label argmax at epoch >
+switch_ep), so epoch means are asserted loosely; cross-host agreement stays
+exact (both hosts fetch the same replicated metrics).
+"""
+import json
+import os
+import pathlib
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+STEPLOSS = re.compile(
+    r"steploss (\d+)/(\d+) ([\d.]+) sup ([\d.]+) unsup ([\d.]+)")
+
+
+def _run_workers(n, devices_each, root):
+    from geot_tpu.parallel import find_free_port
+
+    port = find_free_port()
+    env = dict(os.environ)
+    env.update({
+        "PALLAS_AXON_POOL_IPS": "",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": f"--xla_force_host_platform_device_count={devices_each}",
+        # the conftest pins highest matmul precision in-process; the workers
+        # must match or the trajectories diverge at bf16-level error
+        "JAX_DEFAULT_MATMUL_PRECISION": "highest",
+        "GEOT_LOG_STEP_LOSS": "1",
+    })
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(ROOT / "tests" / "dist_worker.py"),
+             str(port), str(i), str(n), str(root)],
+            env=env, cwd=str(ROOT),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(n)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i}/{n} failed:\n{out[-4000:]}"
+    results = []
+    for i in range(n):
+        with open(os.path.join(root, f"result_p{i}.json")) as f:
+            results.append(json.load(f))
+    steps = {(int(m.group(1)), int(m.group(2))):
+             (float(m.group(3)), float(m.group(4)), float(m.group(5)))
+             for m in STEPLOSS.finditer(outs[0])}
+    return results, steps
+
+
+@pytest.mark.slow
+def test_two_process_dp8_matches_single_process(tmp_path):
+    # single-process dp8 baseline, run through the same worker entry
+    # (1-process jax.distributed, 8 devices) so both sides log identically
+    base_root = tmp_path / "base"
+    os.makedirs(base_root, exist_ok=True)
+    base_results, base_steps = _run_workers(1, 8, base_root)
+
+    dist_root = tmp_path / "dist"
+    os.makedirs(dist_root, exist_ok=True)
+    results, dist_steps = _run_workers(2, 4, dist_root)
+
+    assert {r["process"] for r in results} == {0, 1}
+    assert all(r["process_count"] == 2 and r["n_devices"] == 8
+               for r in results)
+    assert base_steps and set(dist_steps) == set(base_steps)
+
+    # ---- first step: identical params + identical global batches --------
+    # (block-sharded host loaders concat to the single-process batch), so
+    # any real assembly bug shows up at ~1e-3; collective fp noise is ~2e-7
+    first = min(base_steps)
+    for a, b, name in zip(dist_steps[first], base_steps[first],
+                          ("loss", "sup", "unsup")):
+        assert a == pytest.approx(b, abs=2e-5), \
+            f"first-step {name} diverged: {a} vs {b}"
+
+    # ---- later steps: chaos-amplified fp noise — loose sanity band ------
+    for key in base_steps:
+        assert np.isfinite(dist_steps[key][0])
+        assert dist_steps[key][0] == pytest.approx(base_steps[key][0],
+                                                   rel=5e-2), key
+
+    # ---- val metrics: hosts agree exactly; close to single-process ------
+    for k, v in base_results[0]["val"].items():
+        if not np.isfinite(v):
+            continue
+        assert results[1]["val"][k] == pytest.approx(
+            results[0]["val"][k], abs=1e-6), k
+        assert results[0]["val"][k] == pytest.approx(v, rel=0.2, abs=5e-3), k
+
+    # ---- single-writer invariants ---------------------------------------
+    run_dir = dist_root / "run"
+    assert (run_dir / "scalars.jsonl").exists()
+    ckpt_dir = run_dir / "checkpoint"
+    names = sorted(os.listdir(ckpt_dir))
+    assert any(n.endswith("ckpt_latest") for n in names), names
+    # no stale tmp/old trees left behind by racing swaps
+    assert not [n for n in names if n.endswith((".tmp", ".old"))], names
+    # the checkpoint restores (complete payload, not a torn write)
+    from geot_tpu.engine.checkpoint import load_variables
+    variables = load_variables(str(ckpt_dir / "dist_ckpt_latest"))
+    assert "params" in variables

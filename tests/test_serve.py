@@ -164,3 +164,93 @@ def test_serve_concurrent_requests(tmp_path):
         assert all(dev is not None for dev, _, _ in svc.replicas)
     finally:
         httpd.shutdown()
+
+
+@pytest.mark.slow
+def test_serve_hardening_fuzz():
+    """VERDICT r3 #5: oversized/truncated/malformed requests are rejected
+    with the right status codes, never read into memory when oversized, and
+    never take the server down."""
+    import socket
+
+    cfg = EasyConfig()
+    cfg.load(CFG, recursive=True)
+    cfg.num_points = 256
+    httpd = serve(cfg, ckpt=None, port=0, warmup=False)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+
+    def raw_request(payload: bytes, shutdown_wr: bool = False) -> bytes:
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        try:
+            s.sendall(payload)
+            if shutdown_wr:
+                s.shutdown(socket.SHUT_WR)
+            chunks = []
+            while True:
+                b = s.recv(65536)
+                if not b:
+                    break
+                chunks.append(b)
+            return b"".join(chunks)
+        finally:
+            s.close()
+
+    def status_of(resp: bytes) -> int:
+        return int(resp.split(b"\r\n", 1)[0].split()[1])
+
+    try:
+        # 100 MB Content-Length lie with no body: rejected up-front (413),
+        # BEFORE any read — the server must answer instantly, not wait for
+        # a body that never comes
+        import time as _time
+        t0 = _time.time()
+        resp = raw_request(
+            b"POST /predict HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: 104857600\r\n\r\n")
+        assert status_of(resp) == 413
+        assert _time.time() - t0 < 10
+
+        # missing Content-Length -> 411
+        resp = raw_request(
+            b"POST /predict HTTP/1.1\r\nHost: x\r\n\r\n", shutdown_wr=True)
+        assert status_of(resp) == 411
+
+        # garbage Content-Length -> 400
+        resp = raw_request(
+            b"POST /predict HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: banana\r\n\r\n", shutdown_wr=True)
+        assert status_of(resp) == 400
+
+        # truncated body (header promises 1000 bytes, sends 10, half-close)
+        resp = raw_request(
+            b"POST /predict HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: 1000\r\n\r\n0123456789", shutdown_wr=True)
+        assert status_of(resp) == 400
+        assert b"truncated" in resp
+
+        # garbage OBJ text (non-numeric vertex fields) -> 400
+        bad_obj = b"v one two three\nv 1 2\nnot an obj line\n"
+        req = urllib.request.Request(f"{base}/predict", data=bad_obj,
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=300)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # binary garbage that fakes the NPY magic -> 400
+        req = urllib.request.Request(f"{base}/predict",
+                                     data=b"\x93NUMPY" + os.urandom(64),
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=300)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # the server survived all of it
+        with urllib.request.urlopen(f"{base}/healthz", timeout=300) as r:
+            assert json.load(r)["status"] == "ok"
+    finally:
+        httpd.shutdown()
