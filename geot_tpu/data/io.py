@@ -24,12 +24,20 @@ def load_obj_vertices(path: str) -> np.ndarray:
     except Exception:
         pass
     verts = []
-    with open(path, "r") as f:
+    with open(path, "r", errors="replace") as f:
         for line in f:
-            if line.startswith("v "):
+            if line.startswith(("v ", "v\t")):
                 parts = line.split()
-                verts.append((float(parts[1]), float(parts[2]), float(parts[3])))
-    return np.asarray(verts, dtype=np.float32)
+                try:
+                    # first 3 coordinates; extra fields (w, vertex colors)
+                    # are ignored.  Malformed vertex lines are SKIPPED, not
+                    # emitted as garbage — same semantics as the native
+                    # parser (obj_loader.cpp).
+                    verts.append((float(parts[1]), float(parts[2]),
+                                  float(parts[3])))
+                except (ValueError, IndexError):
+                    continue
+    return np.asarray(verts, dtype=np.float32).reshape(-1, 3)
 
 
 def load_labels_json(path: str):

@@ -20,6 +20,29 @@ def _ckpt_path(ckpt_dir: str, run_name: str, tag: str) -> str:
     return os.path.join(os.path.abspath(ckpt_dir), f"{run_name}_ckpt_{tag}")
 
 
+def _restore(path: str):
+    """Structure-free orbax restore, device-topology-agnostic.
+
+    A checkpoint saved under a different device topology (e.g. a multi-host
+    training run restored on a single serving host) makes the plain
+    StandardCheckpointer restore refuse ("available devices are different
+    from the devices used to save"); fall back to a PyTree restore with
+    numpy leaves — placement is the caller's job anyway
+    (``place_variables`` / ``load_checkpoint`` grafting)."""
+    path = os.path.abspath(str(path))
+    try:
+        return _checkpointer().restore(path)
+    except ValueError:
+        import jax
+        import orbax.checkpoint as ocp
+
+        ptc = ocp.PyTreeCheckpointer()
+        meta = ptc.metadata(path).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        return ptc.restore(path, restore_args=restore_args)
+
+
 _CKPTR = None
 
 
@@ -132,8 +155,7 @@ def load_checkpoint(path: str, template_state,
 
     import logging
 
-    ckptr = _checkpointer()
-    payload = ckptr.restore(os.path.abspath(path))
+    payload = _restore(path)
     saved = dict(payload["state"])
     full = to_state_dict(template_state)
     # optional fields (EMA eval shadow) may be an EMPTY dict on either side:
@@ -361,7 +383,7 @@ def load_variables(path: str, prefer_ema="auto"):
     the winner (``extra["ema_selected"]`` — 1.0/0.0, written by
     ``engine/train.py``; EMA when the record is absent but the shadow
     exists)."""
-    payload = _checkpointer().restore(os.path.abspath(path))
+    payload = _restore(path)
     st = payload["state"]
     if prefer_ema == "auto":
         rec = (payload.get("extra") or {}).get("ema_selected")
@@ -577,7 +599,7 @@ def resume_model(state, cfg=None, pretrained_path: Optional[str] = None):
                         **({"batch_stats": loaded["batch_stats"]}
                            if "batch_stats" in loaded
                            and hasattr(state, "batch_stats") else {}))
-    payload = _checkpointer().restore(os.path.abspath(str(pretrained_path)))
+    payload = _restore(pretrained_path)
     return new, payload.get("epoch", 0), payload.get("extra", {})
 
 
@@ -595,7 +617,7 @@ def resume_optimizer(state, cfg=None, pretrained_path: Optional[str] = None):
         logging.info(f"[RESUME INFO] no checkpoint file from path "
                      f"{pretrained_path}...")
         return state, 0, {}
-    payload = _checkpointer().restore(os.path.abspath(str(pretrained_path)))
+    payload = _restore(pretrained_path)
     saved = payload["state"]
     if "opt_state" not in saved:
         logging.warning(f"checkpoint {pretrained_path} carries no optimizer "

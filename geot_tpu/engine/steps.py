@@ -184,6 +184,11 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
     td_w = float(cfg.get("threed_loss_weight", 0.1))
     use_contrast = bool(cfg.get("use_contrastive", False))
     contrast_w = float(cfg.get("contrastive_loss_weight", 1.0))
+    # teacher-confidence gate on contrast anchors; the reference hard-codes
+    # 0.9 (``cluster_contrastloss.py`` nativeContrastLoss_t) — configurable
+    # here because a from-scratch teacher may never clear 0.9 (the all-flags
+    # evidence run lowers it to activate the path)
+    contrast_th = float(cfg.get("contrast_threshold", 0.9))
     pseudo_refine = bool(cfg.get("pseudo_refine", False))
 
     b_l = int(cfg["batch_size_l"])
@@ -317,7 +322,8 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
             if use_contrast and use_teacher:
                 feat_s = feats[b_l:b_l + b_u]
                 lc, new_contrast = contrast_loss_t(
-                    state.contrast, contrast_rng, feat_s, conf, teacher_feats)
+                    state.contrast, contrast_rng, feat_s, conf, teacher_feats,
+                    threshold=contrast_th)
                 lc = lc * contrast_w
                 loss = loss + lc
                 aux_losses["contrast_loss"] = lc

@@ -419,7 +419,12 @@ def main(cfg: EasyConfig) -> dict:
                 "over_acc_wobg": "over_acc_wobg",
                 "manifold_loss_feat": "feat_loss",
                 "insT_identity_loss": "identity_loss",
-                "insT_threed_loss": "threed_loss"}
+                "insT_threed_loss": "threed_loss",
+                # beyond the reference's writer set: the contrastive term is
+                # invisible in the reference logs (instantiated but never
+                # called, reference train.py:267); all-flags evidence runs
+                # need it surfaced
+                "contrast_loss": "contrast_loss"}
     cls_tags = {"train_over_th_acc_class": "pseudo_acc_classwise",
                 "train_over_th_num_class": "over_th_classwise",
                 "train_over_th_recall_class": "over_th_recall_classwise"}

@@ -54,7 +54,9 @@ extern "C" {
 
 long obj_count_vertices(const char* path) {
   Mapped m = map_file(path);
-  if (!m.ok()) return -1;
+  // distinguish "cannot open" (-1) from "empty file" (0 vertices): an empty
+  // scan is a valid parse result, not an IO error
+  if (!m.ok()) return m.fd >= 0 && m.size == 0 ? 0 : -1;
   long count = 0;
   const char* p = m.data;
   const char* end = m.data + m.size;
@@ -70,7 +72,7 @@ long obj_count_vertices(const char* path) {
 
 long obj_load_vertices(const char* path, float* out, long capacity) {
   Mapped m = map_file(path);
-  if (!m.ok()) return -1;
+  if (!m.ok()) return m.fd >= 0 && m.size == 0 ? 0 : -1;
   long count = 0;
   const char* p = m.data;
   const char* end = m.data + m.size;
@@ -92,10 +94,34 @@ long obj_load_vertices(const char* path, float* out, long capacity) {
       } else {
         cursor = const_cast<char*>(p + 2);
       }
-      out[count * 3 + 0] = strtof(cursor, &cursor);
-      out[count * 3 + 1] = strtof(cursor, &cursor);
-      out[count * 3 + 2] = strtof(cursor, &cursor);
-      ++count;
+      // parse exactly 3 floats; a malformed vertex line (non-numeric
+      // fields, fewer than 3 coordinates) is SKIPPED, not emitted as
+      // silent zeros — strtof signals a failed parse by leaving the
+      // cursor in place.  (Bound the in-line scan to this line: strtof
+      // skips leading whitespace INCLUDING newlines, so a short line
+      // like "v 1 2\n" must not steal the next line's first number.)
+      char bounded[256];
+      if (nl != nullptr) {
+        size_t len = static_cast<size_t>(nl - (p + 2));
+        if (len > sizeof(bounded) - 1) len = sizeof(bounded) - 1;
+        memcpy(bounded, p + 2, len);
+        bounded[len] = '\0';
+        cursor = bounded;
+      }
+      float v[3];
+      bool ok = true;
+      for (int d = 0; d < 3; ++d) {
+        char* next = nullptr;
+        v[d] = strtof(cursor, &next);
+        if (next == cursor) { ok = false; break; }
+        cursor = next;
+      }
+      if (ok) {
+        out[count * 3 + 0] = v[0];
+        out[count * 3 + 1] = v[1];
+        out[count * 3 + 2] = v[2];
+        ++count;
+      }
     }
     if (!nl) break;
     p = nl + 1;

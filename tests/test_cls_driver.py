@@ -3,6 +3,7 @@ task the reference carries models/datasets for (``cls_base.py``,
 ``scanobjectnn.py``) trains through the real engine on the synthetic
 fallback."""
 import pathlib
+import pytest
 
 import numpy as np
 
@@ -31,6 +32,7 @@ def _cfg(run_dir=None):
     return cfg
 
 
+@pytest.mark.slow
 def test_cls_e2e_synthetic(tmp_path):
     from geot_tpu.engine.cls import main
 
@@ -42,6 +44,7 @@ def test_cls_e2e_synthetic(tmp_path):
     assert (tmp_path / "checkpoint" / "t_ckpt_best").is_dir()
 
 
+@pytest.mark.slow
 def test_cls_resume(tmp_path):
     """mode=resume restores state + epoch and continues to cfg.epochs."""
     from geot_tpu.engine.cls import main
@@ -79,7 +82,6 @@ def test_cls_eval_counts():
     assert abs(m["macc"] - 100.0 / 3) < 1e-6
 
 
-import pytest
 
 CLS_TINY = {
     "pointnet2cls.yaml": [
@@ -105,6 +107,7 @@ CLS_TINY = {
 
 
 @pytest.mark.parametrize("cfg_name", sorted(CLS_TINY))
+@pytest.mark.slow
 def test_cls_config_steps(cfg_name):
     """Every cls-zoo config jits one supervised step + eval through the
     engine (tiny shrink overrides, synthetic data)."""

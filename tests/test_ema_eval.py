@@ -3,6 +3,7 @@ reference): the state carries an EMA shadow of the student params, every train
 step updates it with the configured decay, evaluation uses it, and checkpoints
 round-trip it (including resume from a pre-EMA checkpoint)."""
 import os
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,7 @@ def _setup(ema: bool):
     return state, make_supervised_step(model, tx, cfg)
 
 
+@pytest.mark.slow
 def test_ema_matches_host_reference():
     """The device EMA equals the host-side recurrence over the RAW weight
     trajectory, and eval_variables serves the EMA tree."""
@@ -69,6 +71,7 @@ def test_ema_matches_host_reference():
         assert g is e
 
 
+@pytest.mark.slow
 def test_disabled_costs_nothing_and_eval_uses_raw():
     state, step = _setup(ema=False)
     assert state.ema_params == {}
@@ -77,6 +80,7 @@ def test_disabled_costs_nothing_and_eval_uses_raw():
     assert state.eval_variables["params"] is state.params
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_and_pre_ema_resume(tmp_path):
     from geot_tpu.engine.checkpoint import (load_checkpoint, load_variables,
                                             save_checkpoint)
@@ -176,6 +180,7 @@ def test_ema_params_shard_like_params():
     assert tp_sharded > 0  # the tp rules actually fired on attn/mlp kernels
 
 
+@pytest.mark.slow
 def test_semi_step_updates_ema():
     """The SEMI step maintains the EMA shadow too (same host-reference
     recurrence over the raw student trajectory)."""

@@ -1,6 +1,7 @@
 """AOT export (jax.export serialized StableHLO) — the serving story the
 reference lacks: artifact round-trips without the model code."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -25,6 +26,7 @@ def _build():
     return model, variables
 
 
+@pytest.mark.slow
 def test_export_roundtrip_embedded(tmp_path):
     model, variables = _build()
     rng = np.random.default_rng(0)
@@ -41,6 +43,7 @@ def test_export_roundtrip_embedded(tmp_path):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_export_runtime_params(tmp_path):
     model, variables = _build()
     rng = np.random.default_rng(1)
@@ -55,6 +58,7 @@ def test_export_runtime_params(tmp_path):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_export_cli_with_checkpoint(tmp_path):
     """The export CLI restores an orbax checkpoint and writes an artifact."""
     import jax

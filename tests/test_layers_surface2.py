@@ -233,6 +233,7 @@ def test_torch_grouping_operation_layout():
                                np.asarray(feats[0, :, 0]))
 
 
+@pytest.mark.slow
 def test_pointmlp_constructors():
     from geot_tpu.models.backbone.pointmlp import pointMLP, pointMLPElite
 

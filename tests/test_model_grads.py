@@ -40,6 +40,7 @@ def _init(model, *args):
                        "dropout": jax.random.PRNGKey(1)}, *args)
 
 
+@pytest.mark.slow
 def test_base_cls_grads(pos):
     m = build_model_from_cfg({
         "NAME": "BaseCls",
@@ -61,6 +62,7 @@ def test_distill_cls_grads(pos):
     assert _grad_norm(m, _init(m, pos), pos) > 0
 
 
+@pytest.mark.slow
 def test_variable_seg_grads(pos):
     m = build_model_from_cfg({
         "NAME": "VariableSeg",

@@ -127,6 +127,7 @@ def test_p3embed(pos):
     assert feats.shape[0] == B and centers.shape[-1] == 3
 
 
+@pytest.mark.slow
 def test_view_decoder_big(rng):
     x = jnp.asarray(rng.standard_normal((2, 4, 4, 32)).astype(np.float32))
     m = build_model_from_cfg({"NAME": "ViewDecoder_big", "in_channels": 32,

@@ -58,6 +58,7 @@ class TestPointTransformerSegT:
         assert feats.shape == (B, N, 48)
         assert np.isfinite(np.asarray(logit)).all()
 
+    @pytest.mark.slow
     def test_t_correction(self, seg_t):
         model, variables, batch = seg_t
         u0 = {k + "_s": v for k, v in make_batch(np.random.default_rng(1)).items()}
@@ -128,6 +129,7 @@ class TestSigT:
 
 
 class TestPointNet2:
+    @pytest.mark.slow
     def test_ssg_forward(self):
         """BASELINE.json config 1: PointNet++ SSG forward on a synthetic cloud."""
         cfg = {
@@ -250,6 +252,7 @@ class TestFastPyramid:
 
 
 class TestFastPyramidClusterAlignment:
+    @pytest.mark.slow
     def test_cluster_feats_share_logit_inverse_perm(self, rng):
         """Under fast_pyramid the cluster head's 64-d contrast features must
         go through the SAME inverse permutation as the logits (review r3: the

@@ -113,6 +113,7 @@ class TestGraftVariables:
 
 @pytest.mark.slow
 class TestEvalOnlyAndFinetune:
+    @pytest.mark.slow
     def test_mode_val_and_finetune(self, tmp_path):
         from geot_tpu.engine.train import main
 

@@ -45,6 +45,7 @@ def _batch_u(b=1, n=128, poison=False):
             "raw_pos": pw, "y": jnp.zeros((b, n), jnp.int32)}
 
 
+@pytest.mark.slow
 def test_supervised_step_skips_nonfinite():
     cfg = EasyConfig({"criterion_args": {"NAME": "Poly1FocalLoss"},
                       "grad_norm_clip": 1.0, "seed": 0,
@@ -73,6 +74,7 @@ def test_supervised_step_skips_nonfinite():
     assert changed, "finite batch must update the params"
 
 
+@pytest.mark.slow
 def test_semi_step_skips_nonfinite():
     cfg = EasyConfig({"criterion_args": {"NAME": "Poly1FocalLoss"},
                       "criterion_u_args": {"NAME": "Poly1FocalLoss_U_corr"},

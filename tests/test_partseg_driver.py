@@ -33,6 +33,7 @@ def _cfg(extra=(), run_dir=None):
     return cfg
 
 
+@pytest.mark.slow
 def test_partseg_e2e_synthetic(tmp_path):
     from geot_tpu.engine.partseg import main
 
@@ -44,6 +45,7 @@ def test_partseg_e2e_synthetic(tmp_path):
     assert (tmp_path / "scalars.jsonl").exists()
 
 
+@pytest.mark.slow
 def test_partseg_resume(tmp_path):
     """mode=resume restores state + epoch and continues to cfg.epochs."""
     from geot_tpu.engine.partseg import main
@@ -143,6 +145,7 @@ def test_partseg_eval_multihead(tmp_path):
     assert np.isfinite(m["ins_miou"])
 
 
+@pytest.mark.slow
 def test_partseg_pointmlp_config_steps():
     """The PointMLP part-seg config jits one supervised step + eval through
     the engine (tiny shrink overrides, synthetic data)."""

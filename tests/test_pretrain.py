@@ -39,6 +39,7 @@ def _pretrain_cfg(tmp_path):
     return cfg
 
 
+@pytest.mark.slow
 def test_pretrain_resume_missing_path_refuses(tmp_path):
     from geot_tpu.engine.pretrain import main as pretrain_main
 

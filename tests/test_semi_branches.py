@@ -76,6 +76,7 @@ def build_all(cfg_extra, opt_name="adamw"):
     ({"criterion_u_args": {"NAME": "Poly1FocalLoss_U_Cur"}}, []),
     ({"criterion_u_args": {"NAME": "Poly1FocalLoss_U_top2"}}, []),
 ])
+@pytest.mark.slow
 def test_semi_step_branches(extra, expect_keys):
     step, state, bl, bu = build_all(extra)
     # the step donates its input state — snapshot before calling
@@ -233,3 +234,37 @@ def test_u_cur_consumes_curvature():
                                      "cls_s", "raw_pos", "y")}
     assert "cur" not in _semi_batch(dict(base), put)
     assert "cur" in _semi_batch(dict(base, cur=np.ones(2)), put)
+
+
+@pytest.mark.slow
+def test_all_flags_drift_guard():
+    """VERDICT r3 #2: ALL aux branches on together (feat + identity +
+    contrastive + pseudo_refine + filter_outlier on top of the 3d loss) in
+    one jitted step, with the first three losses pinned — a semantic change
+    anywhere in the combined path moves these far beyond fp tolerance.
+    Pins generated on the CPU backend at jax_default_matmul_precision=
+    highest (conftest).  contrast_loss is 0.0 by the reference's own 0.9
+    teacher-confidence gate (random-init confidences ~1/17); the committed
+    100-epoch TPU evidence run (log/tooth_semi/, all-flags) shows it go
+    nonzero once the teacher sharpens."""
+    step, state, bl, bu = build_all({
+        "use_feat_loss": True, "feat_k": 4, "feat_sigma": 1.0,
+        "feat_loss_weight": 10.0,
+        "use_identity_loss": True, "identity_loss_weight": 1.0,
+        "use_contrastive": True, "contrastive_loss_weight": 1.0,
+        "pseudo_refine": True, "refine": True, "filter_outlier": True,
+        "threshold": 0.0})
+    lr = jnp.asarray(1e-3)
+    pins = [  # (loss, sup, unsup, feat, identity, threed)
+        (2.496249, 0.694724, 0.621264, 0.247274, 0.876925, 0.056062),
+        (2.439070, 0.638744, 0.603163, 0.262417, 0.875335, 0.059413),
+        (2.312569, 0.557526, 0.574925, 0.251064, 0.875356, 0.053698),
+    ]
+    for i, pin in enumerate(pins):
+        state, m = step(state, bl, bu, lr, True)
+        got = (float(m["loss"]), float(m["sup_loss"]), float(m["unsup_loss"]),
+               float(m["feat_loss"]), float(m["identity_loss"]),
+               float(m["threed_loss"]))
+        for g, p in zip(got, pin):
+            assert g == pytest.approx(p, rel=2e-4), (i, got, pin)
+        assert float(m["contrast_loss"]) == pytest.approx(0.0, abs=1e-6)

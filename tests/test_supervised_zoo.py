@@ -60,6 +60,7 @@ def _batch(rng, n=N_PTS, b=2):
 
 
 @pytest.mark.parametrize("cfg_name", sorted(TINY))
+@pytest.mark.slow
 def test_zoo_config_trains_one_step(cfg_name):
     cfg = EasyConfig()
     cfg.load(str(ROOT / "cfgs" / "tooth_sup" / cfg_name), recursive=True)
