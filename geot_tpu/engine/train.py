@@ -407,8 +407,11 @@ def main(cfg: EasyConfig) -> dict:
         state = shard_state(state, mesh, fsdp=bool(cfg.get("fsdp", False)))
 
     from .profiler import StepTimer
+    # rank-0-only like the scalar writer: concurrent appends from every
+    # host to the shared run dir would interleave
     timer = StepTimer(os.path.join(cfg.run_dir, "step_times.jsonl")
-                      if cfg.get("run_dir") else None)
+                      if cfg.get("run_dir") and jax.process_index() == 0
+                      else None)
 
     # epoch-scalar tags, named exactly like the reference's writer calls
     # (``train.py:307-330``) -> key in the jitted step's metrics dict
@@ -716,9 +719,17 @@ def parse_and_run(argv=None):
             f"seed{cfg.seed}"]
     cfg.root_dir = os.path.join(cfg.get("root_dir", "./log"), cfg.task_name)
     # same eval-only spelling set as main(): every eval mode reuses the
-    # checkpoint's run dir instead of generating a fresh experiment dir
-    if cfg.get("mode") in ("resume", "test", "val", "eval", "testing",
-                           "evaluation"):
+    # checkpoint's run dir instead of generating a fresh experiment dir.
+    # An explicit run_dir override wins outright — the multi-process
+    # launcher (engine/launch.py) pre-creates ONE run dir that every rank
+    # must share (orbax's coordinated save requires identical paths).
+    if cfg.get("run_dir"):
+        cfg.run_name = cfg.get("run_name") or "-".join(tags)
+        cfg.ckpt_dir = cfg.get("ckpt_dir") or os.path.join(
+            cfg.run_dir, "checkpoint")
+        os.makedirs(cfg.ckpt_dir, exist_ok=True)
+    elif cfg.get("mode") in ("resume", "test", "val", "eval", "testing",
+                             "evaluation"):
         resume_exp_directory(cfg, pretrained_path=cfg.get("pretrained_path"))
     else:
         generate_exp_directory(cfg, tags)
