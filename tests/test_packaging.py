@@ -23,7 +23,7 @@ def test_console_scripts_resolve():
         meta = tomllib.load(f)
     scripts = meta["project"]["scripts"]
     assert set(scripts) == {"geot-train", "geot-predict", "geot-serve",
-                            "geot-export", "geot-convert"}
+                            "geot-export", "geot-convert", "geot-launch"}
     for target in scripts.values():
         mod_name, func_name = target.split(":")
         fn = getattr(importlib.import_module(mod_name), func_name)
