@@ -71,3 +71,46 @@ def test_launch_failfast_kills_group(tmp_path):
                "--run-dir", str(tmp_path / "r"), "--",
                "--cfg", "cfgs/does_not_exist.yaml"])
     assert rc != 0
+
+
+@pytest.mark.slow
+def test_launch_multinode_simulated(tmp_path):
+    """The --nnodes/--node-rank path: two 'nodes' (two launcher invocations
+    on localhost, 1 rank each) join one coordinator into a single dp8 run —
+    the real multi-node recipe, minus the second machine."""
+    import socket
+    import threading
+
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+    run_dir = tmp_path / "run"
+    env = dict(os.environ)
+    env.update({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+                "JAX_DEFAULT_MATMUL_PRECISION": "highest"})
+
+    def node(rank, out):
+        out[rank] = subprocess.run(
+            [sys.executable, "-m", "geot_tpu.engine.launch",
+             "--nprocs", "1", "--nnodes", "2", "--node-rank", str(rank),
+             "--coordinator", f"localhost:{port}",
+             "--devices-per-proc", "4", "--run-dir", str(run_dir), "--",
+             "--cfg", "cfgs/tooth_semi/smoke.yaml", "batch_size_l=8",
+             "batch_size_u=8", "epochs=1", "val_freq=999", "test_freq=999",
+             "seed=3"],
+            env=env, cwd=str(ROOT), timeout=900,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+    results = {}
+    threads = [threading.Thread(target=node, args=(r, results))
+               for r in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for r in (0, 1):
+        assert results[r].returncode == 0, results[r].stdout[-3000:]
+    log0 = (run_dir / "rank0.log").read_text()
+    assert "mesh: dp=8" in log0 and "2 host(s)" in log0
+    assert any(n.endswith("ckpt_latest")
+               for n in os.listdir(run_dir / "checkpoint"))
