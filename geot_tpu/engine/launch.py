@@ -82,6 +82,11 @@ def main(argv=None):
                      "-- --cfg cfgs/tooth_semi/smoke.yaml")
     if args.nnodes > 1 and not args.coordinator:
         parser.error("--coordinator host:port is required when nnodes > 1")
+    if args.nnodes > 1 and not args.run_dir:
+        # orbax's multi-host-coordinated save requires IDENTICAL paths on
+        # every rank; a per-node timestamp default would desync them
+        parser.error("--run-dir is required when nnodes > 1 (every node must "
+                     "share one run directory for coordinated checkpoints)")
 
     from ..parallel import find_free_port
 
@@ -130,7 +135,12 @@ def main(argv=None):
                     for q in procs:
                         q.terminate()
                     for q in procs:
-                        q.wait(timeout=30)
+                        try:
+                            q.wait(timeout=30)
+                        except subprocess.TimeoutExpired:
+                            # a rank wedged in a collective ignores SIGTERM
+                            q.kill()
+                            q.wait()
                     procs = []
                     break
             time.sleep(0.5)

@@ -711,7 +711,17 @@ def parse_and_run(argv=None):
     cfg.load(args.cfg, recursive=True)
     cfg.update(opts)
     if cfg.get("seed") is None:
-        cfg.seed = int(np.random.randint(1, 10000))
+        import jax
+
+        seed = int(np.random.randint(1, 10000))
+        if jax.process_count() > 1:
+            # each rank drew a different value — a per-rank seed silently
+            # desyncs loader shuffle permutations (block-shard assembly
+            # would mix rows of different permutations) and model init;
+            # share rank 0's draw instead
+            from jax.experimental import multihost_utils
+            seed = int(multihost_utils.broadcast_one_to_all(np.int32(seed)))
+        cfg.seed = seed
 
     cfg.task_name = args.cfg.split(".")[-2].split("/")[-2]
     cfg.cfg_basename = args.cfg.split(".")[-2].split("/")[-1]

@@ -86,7 +86,13 @@ class MaskedCrossEntropy:
 
 @LOSS.register_module(name="BCELogits")
 class BCELogits:
-    """Reference ``build.py:85-96``."""
+    """Reference ``build.py:85-96``.
+
+    Also registered as ``BCEWithLogitsLoss`` — the reference registers the
+    torch class under that name too (``openpoints/loss/build.py:13``), so
+    reference YAMLs with ``criterion_args: {NAME: BCEWithLogitsLoss}`` must
+    build here as well.
+    """
 
     def __init__(self, **kwargs):
         pass
@@ -95,6 +101,9 @@ class BCELogits:
         logits, labels = _flatten_logits(logits, labels)
         onehot = jax.nn.one_hot(labels, logits.shape[-1])
         return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, onehot))
+
+
+LOSS.register_module(name="BCEWithLogitsLoss", module=BCELogits)
 
 
 @LOSS.register_module(name="FocalLoss")

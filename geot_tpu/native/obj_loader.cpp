@@ -8,6 +8,7 @@
 // C ABI for ctypes:
 //   long obj_count_vertices(const char* path);
 //   long obj_load_vertices(const char* path, float* out, long capacity);
+#include <cctype>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -79,49 +80,52 @@ long obj_load_vertices(const char* path, float* out, long capacity) {
   while (p < end - 1) {
     const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
     if (vertex_line(p, m.data) && count < capacity) {
-      char* cursor;
-      char tail[256];
-      if (nl == nullptr) {
-        // final line with no trailing newline: the mapping is not
-        // NUL-terminated, and when the file size is an exact page multiple
-        // strtof would scan past the mapping (SIGSEGV). Parse a bounded,
-        // NUL-terminated copy instead.
-        size_t len = static_cast<size_t>(end - (p + 2));
-        if (len > sizeof(tail) - 1) len = sizeof(tail) - 1;
-        memcpy(tail, p + 2, len);
-        tail[len] = '\0';
-        cursor = tail;
-      } else {
-        cursor = const_cast<char*>(p + 2);
+      // Parse from a NUL-terminated copy of THIS line only.  The copy is
+      // mandatory twice over: (a) the mapping is not NUL-terminated, so on
+      // the final newline-less line of a page-multiple file strtof would
+      // scan past the mapping (SIGSEGV); (b) strtof skips leading
+      // whitespace INCLUDING newlines, so a short line like "v 1 2\n"
+      // must not steal the next line's first number.  Lines longer than
+      // the stack buffer (vertex-color exports with many fields) go
+      // through a heap copy — truncating would let a coordinate that
+      // straddles the cutoff parse as a silently wrong prefix.
+      size_t len = static_cast<size_t>((nl ? nl : end) - (p + 2));
+      char stackbuf[256];
+      char* heapbuf = nullptr;
+      char* buf = stackbuf;
+      if (len + 1 > sizeof(stackbuf)) {
+        heapbuf = static_cast<char*>(malloc(len + 1));
+        buf = heapbuf;  // skip the line if the allocation failed
       }
-      // parse exactly 3 floats; a malformed vertex line (non-numeric
-      // fields, fewer than 3 coordinates) is SKIPPED, not emitted as
-      // silent zeros — strtof signals a failed parse by leaving the
-      // cursor in place.  (Bound the in-line scan to this line: strtof
-      // skips leading whitespace INCLUDING newlines, so a short line
-      // like "v 1 2\n" must not steal the next line's first number.)
-      char bounded[256];
-      if (nl != nullptr) {
-        size_t len = static_cast<size_t>(nl - (p + 2));
-        if (len > sizeof(bounded) - 1) len = sizeof(bounded) - 1;
-        memcpy(bounded, p + 2, len);
-        bounded[len] = '\0';
-        cursor = bounded;
+      if (buf != nullptr) {
+        memcpy(buf, p + 2, len);
+        buf[len] = '\0';
+        // parse exactly 3 floats; a malformed vertex line (non-numeric
+        // fields, fewer than 3 coordinates) is SKIPPED, not emitted as
+        // silent zeros.  Each field must END at whitespace or
+        // end-of-line — matching the python fallback's whitespace-split
+        // + strict float() semantics ("3garbage" is malformed, not 3.0).
+        char* cursor = buf;
+        float v[3];
+        bool ok = true;
+        for (int d = 0; d < 3; ++d) {
+          char* next = nullptr;
+          v[d] = strtof(cursor, &next);
+          if (next == cursor ||
+              !(*next == '\0' || isspace(static_cast<unsigned char>(*next)))) {
+            ok = false;
+            break;
+          }
+          cursor = next;
+        }
+        if (ok) {
+          out[count * 3 + 0] = v[0];
+          out[count * 3 + 1] = v[1];
+          out[count * 3 + 2] = v[2];
+          ++count;
+        }
       }
-      float v[3];
-      bool ok = true;
-      for (int d = 0; d < 3; ++d) {
-        char* next = nullptr;
-        v[d] = strtof(cursor, &next);
-        if (next == cursor) { ok = false; break; }
-        cursor = next;
-      }
-      if (ok) {
-        out[count * 3 + 0] = v[0];
-        out[count * 3 + 1] = v[1];
-        out[count * 3 + 2] = v[2];
-        ++count;
-      }
+      free(heapbuf);
     }
     if (!nl) break;
     p = nl + 1;

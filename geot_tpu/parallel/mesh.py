@@ -217,9 +217,11 @@ def shard_batch(batch, mesh: Mesh, host_local: bool = False):
         global_b = leaf.shape[0] * nproc if ndim >= 1 else 0
         if ndim >= 1 and global_b % dp == 0:
             dims[0] = "dp"
-        elif host_local and nproc > 1:
+        elif ndim >= 1 and host_local and nproc > 1:
             # replicating across processes would need an all-gather of
-            # differing host data — a config error, refuse loudly
+            # differing host data — a config error, refuse loudly.
+            # 0-dim leaves (lr, epoch counters) skip this: identical
+            # scalars replicate safely on every host.
             raise ValueError(
                 f"multi-host batch axis {global_b} (= {leaf.shape[0]} "
                 f"local x {nproc} processes) does not divide dp={dp}; "

@@ -265,3 +265,32 @@ def test_fsdp8_semi_step_matches_single_device():
     assert float(metrics["loss"]) == pytest.approx(loss_1, abs=1e-5)
     assert float(metrics["sup_loss"]) == pytest.approx(sup_1, abs=1e-5)
     assert float(pnorm) == pytest.approx(pnorm_1, rel=1e-5)
+
+
+def test_shard_batch_host_local_scalar_leaf(monkeypatch):
+    """ADVICE r4: a 0-dim leaf (lr, epoch counter) in a host-local batch
+    must replicate, not trip the 'does not divide dp' error meant for true
+    batch-axis mismatches."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (run via scripts/test.sh)")
+    import geot_tpu.parallel.mesh as mesh_mod
+
+    mesh = make_mesh(jax.devices()[:8], dp=8, tp=1)
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    specs = {}
+
+    def fake_assemble(sharding, x):
+        specs[np.asarray(x).shape] = sharding.spec
+        return np.asarray(x)
+
+    monkeypatch.setattr(mesh_mod.jax, "make_array_from_process_local_data",
+                        fake_assemble)
+    shard_batch({"lr": np.float32(0.1),
+                 "pos": np.zeros((4, 16, 3), np.float32)},
+                mesh, host_local=True)
+    assert specs[()] == jax.sharding.PartitionSpec()          # replicated
+    assert specs[(4, 16, 3)] == jax.sharding.PartitionSpec("dp")
+    # the loud error for true batch-axis mismatches stays
+    with pytest.raises(ValueError, match="does not divide dp"):
+        shard_batch({"pos": np.zeros((3, 16, 3), np.float32)},
+                    mesh, host_local=True)

@@ -53,6 +53,17 @@ CASES = {
     "indented_v_not_vertex": (b" v 1 2 3\nv 4 5 6\n", [[4, 5, 6]]),
     "vn_vt_not_vertices": (b"vn 1 2 3\nvt 0.5 0.5\n", []),
     "binary_garbage": (bytes(range(256)) * 4, None),     # no-crash only
+    # >255-char vertex line (huge comment-like tail after the coords): the
+    # native parser must heap-copy, not truncate — a coordinate straddling
+    # a fixed-buffer cutoff would parse as a silently wrong prefix
+    "long_line": ((b"v 1 2 3 " + b"0.123456 " * 64 + b"\nv 4 5 6\n"),
+                  [[1, 2, 3], [4, 5, 6]]),
+    # coords only reachable past a 255-byte cutoff
+    "long_line_late_coords": ((b"v" + b" " * 300 + b"7 8 9\n"), [[7, 8, 9]]),
+    # trailing garbage fused to a field is malformed (python float("3x")
+    # raises; strtof alone would yield 3.0) — both parsers must skip
+    "fused_garbage_third": (b"v 1 2 3x\nv 4 5 6\n", [[4, 5, 6]]),
+    "fused_garbage_first": (b"v 1y 2 3\nv 4 5 6\n", [[4, 5, 6]]),
 }
 
 
