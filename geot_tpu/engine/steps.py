@@ -179,8 +179,13 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
     id_loss = identity_loss()
     id_w = float(cfg.get("identity_loss_weight", 1.0))
     use_3d = bool(cfg.get("use_3d_loss", True))
+    # threed_anchors=M computes the 3d manifold loss on M random anchor
+    # points per cloud (unbiased estimator; neighbours still searched in
+    # the full cloud) — 0 keeps the exact all-points reference semantics
+    threed_anchors = int(cfg.get("threed_anchors", 0) or 0)
     td_loss = threed_space_loss(int(cfg.get("threed_k", 32)),
-                                float(cfg.get("threed_sigma", 1.0)), num_classes)
+                                float(cfg.get("threed_sigma", 1.0)), num_classes,
+                                anchors=threed_anchors)
     td_w = float(cfg.get("threed_loss_weight", 0.1))
     use_contrast = bool(cfg.get("use_contrastive", False))
     contrast_w = float(cfg.get("contrastive_loss_weight", 1.0))
@@ -315,7 +320,12 @@ def make_semi_step(model, teacher_model, t_predictor, tx, t_tx, cfg) -> Callable
                 loss = loss + li
                 aux_losses["identity_loss"] = li
             if use_3d:
-                l3 = td_loss(batch_u["raw_pos"], pseudo, ins_T) * td_w
+                # anchor rng derived by fold_in so the existing dropout /
+                # contrast streams (and their pinned trajectories) are
+                # untouched when anchors are off
+                l3 = td_loss(batch_u["raw_pos"], pseudo, ins_T,
+                             rng=(jax.random.fold_in(drop_rng, 0x3D)
+                                  if threed_anchors else None)) * td_w
                 loss = loss + l3
                 aux_losses["threed_loss"] = l3
             new_contrast = state.contrast

@@ -13,10 +13,17 @@ import jax.numpy as jnp
 from ..ops import grouping_operation, knn
 
 
-def _neighbour_weights(anchor_feats, labels, k, sigma, same_val, diff_val):
-    """kNN in ``anchor_feats`` space; returns (idx (B,N,k), weights (B,N,k))
+def _neighbour_weights(anchor_feats, labels, k, sigma, same_val, diff_val,
+                       support_feats=None, support_labels=None):
+    """kNN in ``anchor_feats`` space; returns (idx (B,M,k), weights (B,M,k))
     where weights = (same/diff label mask value) * exp(-d2 / 2 sigma^2) with
     d2 the squared feature distance, exactly as ``insT_loss.py:42-49``.
+
+    ``support_feats``/``support_labels`` (default: the anchors themselves)
+    let a subsampled anchor set search the FULL cloud — neighbour structure
+    is unchanged, only the number of query rows shrinks.  The anchors must
+    be drawn from the support (each query's nearest hit is itself, dropped
+    below), which holds for index-subsampled anchors.
 
     recall_target 0.95: this is a soft gaussian-weighted regularizer, and the
     relaxed PartialReduce is 3.5x faster at 16k x 16k (measured recall 0.988).
@@ -28,25 +35,34 @@ def _neighbour_weights(anchor_feats, labels, k, sigma, same_val, diff_val):
     High-dim (the feature-space loss): the kNN computes d2 via the MXU
     |q|^2-2qs+|s|^2 expansion (~5e-4 rel fp drift vs explicit diffs), so
     the explicit recompute is kept for exact reference semantics."""
-    d2_knn, idx = knn(anchor_feats, anchor_feats, k + 1, squared=True,
+    if support_feats is None:
+        support_feats = anchor_feats
+    if support_labels is None:
+        support_labels = labels
+    d2_knn, idx = knn(anchor_feats, support_feats, k + 1, squared=True,
                       recall_target=0.95)
     idx = idx[:, :, 1:]                                     # drop self
     if anchor_feats.shape[-1] <= 4:
         d2 = d2_knn[:, :, 1:]
     else:
-        neigh_feats = grouping_operation(anchor_feats, idx)  # (B,N,k,C)
+        neigh_feats = grouping_operation(support_feats, idx)  # (B,M,k,C)
         d2 = jnp.sum((anchor_feats[:, :, None, :] - neigh_feats) ** 2, axis=-1)
     eij = jnp.exp(-d2 / (2.0 * sigma * sigma))
-    neigh_labels = jnp.take_along_axis(labels, idx.reshape(labels.shape[0], -1),
-                                       axis=1).reshape(idx.shape)
+    neigh_labels = jnp.take_along_axis(
+        support_labels, idx.reshape(support_labels.shape[0], -1),
+        axis=1).reshape(idx.shape)
     agree = neigh_labels == labels[:, :, None]
     weight = jnp.where(agree, same_val, diff_val) * eij
     return idx, jax.lax.stop_gradient(weight)
 
 
-def _weighted_t_dist_sum(ins_T, idx, w):
-    """Per-point weighted sum of squared L2 distances between each point's
-    transition matrix and its neighbours': (B*N, C, C), (B, N, k) -> (B, N).
+def _weighted_t_dist_sum(ins_T, idx, w, anchor_idx=None):
+    """Per-anchor weighted sum of squared L2 distances between each anchor's
+    transition matrix and its neighbours': (B*N, C, C), (B, M, k) -> (B, M).
+
+    ``anchor_idx`` (B, M) selects the anchor rows when the loss runs on a
+    subsampled anchor set (neighbour ``idx`` always indexes the full cloud);
+    ``None`` means every point is an anchor (M == N, identity).
 
     Uses sum_j w_ij ||t_i - t_j||^2 = |t_i|^2 sum_j w_ij
     + sum_j w_ij |t_j|^2 - 2 t_i . (sum_j w_ij t_j) with per-neighbour fused
@@ -55,19 +71,24 @@ def _weighted_t_dist_sum(ins_T, idx, w):
     k=33/C=17 and its diff/backward cost ~7 ms of the 45 ms train step;
     this form moves ~2x less HBM traffic with identical gradients
     (|Δloss| ~ 1e-6 relative from the expansion's rounding)."""
-    B, N, k = idx.shape
+    B, M, k = idx.shape
     C = ins_T.shape[-1]
-    t = ins_T.reshape(B, N, C * C)
+    t = ins_T.reshape(B, -1, C * C)                          # (B, N, C*C)
     tsq = jnp.sum(t * t, axis=-1)                            # (B, N)
+    if anchor_idx is None:
+        t_i, tsq_i = t, tsq
+    else:
+        t_i = jnp.take_along_axis(t, anchor_idx[..., None], axis=1)
+        tsq_i = jnp.take_along_axis(tsq, anchor_idx, axis=1)
     tsq_j = jnp.take_along_axis(tsq, idx.reshape(B, -1),
-                                axis=1).reshape(B, N, k)
+                                axis=1).reshape(B, M, k)
     s = None                                                 # sum_j w_ij t_j
     for j in range(k):
         gj = jnp.take_along_axis(t, idx[:, :, j][..., None], axis=1)
         term = gj * w[:, :, j][..., None]
         s = term if s is None else s + term
-    cross = jnp.sum(t * s, axis=-1)                          # (B, N)
-    return tsq * jnp.sum(w, -1) + jnp.sum(w * tsq_j, -1) - 2.0 * cross
+    cross = jnp.sum(t_i * s, axis=-1)                        # (B, M)
+    return tsq_i * jnp.sum(w, -1) + jnp.sum(w * tsq_j, -1) - 2.0 * cross
 
 
 class feature_space_loss:
@@ -86,14 +107,37 @@ class feature_space_loss:
 
 class threed_space_loss:
     """Reference ``insT_loss.py:61-110``: same in xyz space with {1, 0}
-    weights and per-point normalisation."""
+    weights and per-point normalisation.
 
-    def __init__(self, k: int = 7, sigma: float = 1.0, num_classes: int = 17):
-        self.k, self.sigma = k, sigma
+    ``anchors=M`` (0 = off, the exact reference semantics) evaluates the
+    loss on M uniformly drawn anchor points per cloud instead of all N —
+    an unbiased estimator of the same per-point mean: neighbours are still
+    searched in the FULL cloud (the geometry the regulariser sees is
+    unchanged), only the set of anchor rows whose normalised weighted
+    T-distance is averaged shrinks.  At the flagship 16k/k=32 shape the
+    loss is pure random-gather HBM traffic, so cost scales ~M/N.  Requires
+    an ``rng`` per call (fresh anchors each step, like dropout)."""
 
-    def __call__(self, positions, labels, ins_T):
-        idx, w = _neighbour_weights(positions, labels, self.k, self.sigma, 1.0, 0.0)
-        wtd = _weighted_t_dist_sum(ins_T, idx, w)
+    def __init__(self, k: int = 7, sigma: float = 1.0, num_classes: int = 17,
+                 anchors: int = 0):
+        self.k, self.sigma, self.anchors = k, sigma, int(anchors)
+
+    def __call__(self, positions, labels, ins_T, rng=None):
+        B, N = labels.shape
+        if self.anchors and self.anchors < N:
+            if rng is None:
+                raise ValueError("threed_space_loss(anchors=M) needs an rng")
+            aidx = jax.random.randint(rng, (B, self.anchors), 0, N)
+            a_pos = jnp.take_along_axis(positions, aidx[..., None], axis=1)
+            a_labels = jnp.take_along_axis(labels, aidx, axis=1)
+            idx, w = _neighbour_weights(a_pos, a_labels, self.k, self.sigma,
+                                        1.0, 0.0, support_feats=positions,
+                                        support_labels=labels)
+            wtd = _weighted_t_dist_sum(ins_T, idx, w, anchor_idx=aidx)
+        else:
+            idx, w = _neighbour_weights(positions, labels, self.k, self.sigma,
+                                        1.0, 0.0)
+            wtd = _weighted_t_dist_sum(ins_T, idx, w)
         per_point = wtd / (jnp.sum(w, axis=-1) + 0.001)
         return jnp.mean(per_point)
 

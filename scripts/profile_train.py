@@ -33,6 +33,8 @@ def main():
     p.add_argument("--top", type=int, default=24)
     p.add_argument("--points", type=int, default=16000)
     p.add_argument("--threed-k", type=int, default=32)
+    p.add_argument("--threed-anchors", type=int, default=0,
+                   help="subsampled 3d-loss anchor count (0 = all points)")
     p.add_argument("--no-3d", action="store_true",
                    help="disable the 3d manifold loss (op attribution)")
     args = p.parse_args()
@@ -56,7 +58,7 @@ def main():
         "num_classes": 17, "grad_norm_clip": 1.0, "threshold": 0.0,
         "unsupervised_loss_weight": 1.0, "lambma": 0.9, "geo_lambma": 0.999,
         "ema_t_decay": 0.999, "use_3d_loss": not args.no_3d,
-        "threed_k": args.threed_k,
+        "threed_k": args.threed_k, "threed_anchors": args.threed_anchors,
         "threed_sigma": 1.0, "threed_loss_weight": 0.1,
         "batch_size_l": b_l, "batch_size_u": b_u, "seed": 0})
 

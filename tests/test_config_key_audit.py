@@ -23,6 +23,7 @@ CONSUMED = {
     "ema_t_decay", "filter_outlier", "grad_norm_clip", "step_per_update",
     "use_feat_loss", "feat_loss_weight", "feat_k", "feat_sigma",
     "use_3d_loss", "threed_loss_weight", "threed_k", "threed_sigma",
+    "threed_anchors",
     "use_identity_loss", "identity_loss_weight",
     "use_contrastive", "contrastive_loss_weight",
     "pseudo_refine", "refine", "print_freq",

@@ -130,3 +130,74 @@ class TestContrast:
         score = jnp.asarray(rng.uniform(0, 1, (1, 16)).astype(np.float32))
         loss, _ = f(state, jax.random.PRNGKey(1), feat, score, feat)
         assert np.isfinite(float(loss))
+
+
+class TestThreedAnchors:
+    """Subsampled-anchor mode of the 3d manifold loss (round-5 perf lever):
+    anchors=M must be an unbiased estimator of the all-points loss with
+    neighbour structure unchanged."""
+
+    def _cloud(self, rng, B=2, N=64):
+        pos = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, C, (B, N)), jnp.int32)
+        ins_T = jnp.asarray(rng.uniform(0, 1, (B * N, C, C)).astype(np.float32))
+        return pos, labels, ins_T
+
+    def test_weighted_t_dist_anchor_identity(self, rng):
+        """anchor_idx=arange must reproduce the anchorless path exactly."""
+        from geot_tpu.losses.inst_loss import (_neighbour_weights,
+                                               _weighted_t_dist_sum)
+        pos, labels, ins_T = self._cloud(rng)
+        idx, w = _neighbour_weights(pos, labels, 4, 1.0, 1.0, 0.0)
+        full = _weighted_t_dist_sum(ins_T, idx, w)
+        B, N = labels.shape
+        aidx = jnp.broadcast_to(jnp.arange(N)[None], (B, N))
+        anch = _weighted_t_dist_sum(ins_T, idx, w, anchor_idx=aidx)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(anch))
+
+    def test_anchored_matches_bruteforce_oracle(self, rng, monkeypatch):
+        """With pinned anchor indices, the anchored loss equals a numpy
+        brute-force evaluation of the reference formula restricted to those
+        anchors (neighbours over the FULL cloud)."""
+        B, N, M, k, sigma = 2, 64, 16, 4, 1.0
+        pos, labels, ins_T = self._cloud(rng, B, N)
+        aidx = np.stack([np.random.default_rng(7 + b).permutation(N)[:M]
+                         for b in range(B)])
+        monkeypatch.setattr(jax.random, "randint",
+                            lambda key, shape, lo, hi: jnp.asarray(aidx))
+        loss = threed_space_loss(k=k, sigma=sigma, anchors=M)(
+            pos, labels, ins_T, rng=jax.random.PRNGKey(0))
+
+        p = np.asarray(pos)
+        lab = np.asarray(labels)
+        t = np.asarray(ins_T).reshape(B, N, C * C)
+        per = []
+        for b in range(B):
+            for a in aidx[b]:
+                d2 = np.sum((p[b] - p[b, a]) ** 2, -1)
+                order = np.argsort(d2)
+                neigh = [j for j in order if j != a][:k]
+                w = np.array([(lab[b, j] == lab[b, a])
+                              * np.exp(-d2[j] / (2 * sigma ** 2))
+                              for j in neigh])
+                wtd = np.sum(w * np.sum((t[b, neigh] - t[b, a]) ** 2, -1))
+                per.append(wtd / (np.sum(w) + 0.001))
+        assert float(loss) == pytest.approx(float(np.mean(per)), rel=2e-4)
+
+    def test_anchored_estimator_unbiased(self, rng):
+        """Averaged over many anchor draws, the subsampled loss converges on
+        the all-points loss (fixed seeds -> deterministic assertion)."""
+        pos, labels, ins_T = self._cloud(rng, B=2, N=128)
+        full = float(threed_space_loss(k=4)(pos, labels, ins_T))
+        lo = threed_space_loss(k=4, anchors=32)
+        draws = [float(lo(pos, labels, ins_T, rng=jax.random.PRNGKey(i)))
+                 for i in range(40)]
+        assert np.mean(draws) == pytest.approx(full, rel=0.05)
+
+    def test_anchored_gradients_flow(self, rng):
+        pos, labels, ins_T = self._cloud(rng, B=1, N=64)
+        lo = threed_space_loss(k=4, anchors=16)
+        g = jax.grad(lambda T: lo(pos, labels, T,
+                                  rng=jax.random.PRNGKey(3)))(ins_T)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.sum(jnp.abs(g))) > 0
