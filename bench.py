@@ -51,6 +51,7 @@ def _measure(seg_args):
     model, variables, _ = _build(seg_args, N_POINTS, BATCH)
     fwd = jax.jit(lambda v, b: jnp.sum(model.apply(v, b)[0]))
     rng = np.random.default_rng(0)
+    flops = 0.0
 
     def fresh_batch():
         pos = jnp.asarray(
@@ -58,6 +59,13 @@ def _measure(seg_args):
         return {"pos": pos, "x": pos, "cls": jnp.zeros((BATCH, 1), jnp.int32)}
 
     batches = [fresh_batch() for _ in range(WARMUP + ITERS)]
+    try:
+        # XLA's own flop count for the whole compiled forward — feeds the
+        # MFU field (docs/PERF.md derivation)
+        flops = float((fwd.lower(variables, batches[0]).compile()
+                       .cost_analysis() or {}).get("flops", 0))
+    except Exception:
+        pass
     for i in range(WARMUP):
         float(fwd(variables, batches[i]))
 
@@ -67,7 +75,26 @@ def _measure(seg_args):
     outs = [fwd(variables, batches[WARMUP + i]) for i in range(ITERS)]
     float(outs[-1])
     dt = (time.time() - t0) / ITERS
-    return BATCH / dt
+    return BATCH / dt, flops
+
+
+_PEAK_TFLOPS = {
+    # dense bf16 peak per chip (public spec sheets); MFU is quoted against
+    # the bf16 MXU peak by convention even where f32 stages run at lower
+    # throughput, so these MFUs are conservative
+    "v6e": 918.0, "v6": 918.0, "v5p": 459.0, "v5e": 197.0, "v5 lite": 197.0,
+    "v5litepod": 197.0, "v4": 275.0, "v3": 123.0, "v2": 46.0,
+}
+
+
+def _peak_tflops():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _PEAK_TFLOPS.items():
+        if key in kind:
+            return peak, kind
+    return None, kind
 
 
 def main():
@@ -96,7 +123,7 @@ def main():
     if fp != "0" and os.environ.get("BENCH_FAST_GRAPH", "1") == "1":
         seg_args["fast_graph"] = True
 
-    scans_per_sec = _measure(seg_args)
+    scans_per_sec, flops = _measure(seg_args)
 
     if os.environ.get("BENCH_CPU") == "1":
         with open(CPU_REF_FILE, "w") as f:
@@ -112,7 +139,7 @@ def main():
     # BENCH_DUAL=0 skips the second compile+measure.
     value_exact = None
     if seg_args != exact_args and os.environ.get("BENCH_DUAL", "1") == "1":
-        value_exact = _measure(exact_args)
+        value_exact, _ = _measure(exact_args)
     elif seg_args == exact_args:
         value_exact = scans_per_sec
 
@@ -127,6 +154,16 @@ def main():
            "vs_baseline": round(vs, 3) if vs is not None else None}
     if value_exact is not None:
         rec["value_exact"] = round(value_exact, 3)
+    if flops:
+        # achieved dense TFLOP/s and fraction of the chip's bf16 peak; the
+        # serving forward is neighbour-op-bound (see docs/PERF.md), so a
+        # low MFU here is the workload, not a tuning gap
+        tflops = flops * (scans_per_sec / BATCH) / 1e12
+        rec["tflops"] = round(tflops, 2)
+        peak, kind = _peak_tflops()
+        if peak:
+            rec["mfu"] = round(tflops / peak, 4)
+            rec["device_kind"] = kind
     print(json.dumps(rec))
 
 
