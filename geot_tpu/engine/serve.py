@@ -37,7 +37,7 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 from ..core.config import EasyConfig
-from .predict import (_ID2FDI_LOWER, _ID2FDI_UPPER, load_model_and_params,
+from .predict import (map_pred_to_fdi, load_model_and_params,
                       predict_scan)
 
 
@@ -167,8 +167,7 @@ class _Service:
                                    device=device)
         with self._rr_lock:
             self.scans_served += 1
-        id2fdi = _ID2FDI_LOWER if jaw == 0 else _ID2FDI_UPPER
-        return [int(id2fdi[int(c)]) for c in pred]
+        return map_pred_to_fdi(pred, jaw)
 
 
 def _parse_body(body: bytes) -> np.ndarray:

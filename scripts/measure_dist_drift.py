@@ -94,7 +94,13 @@ def main():
                 "later steps amplify it through pseudo-label/anchor argmax "
                 "discontinuities. tests/test_multiprocess_dist.py's "
                 "DRIFT_ENVELOPE_REL must stay >= a safety factor over "
-                "envelope_max_rel_diff.",
+                "envelope_max_rel_diff. A measured 0.0 at 2proc x 4dev is "
+                "REAL, not vacuous (losses logged at 1e-9 resolution): the "
+                "hierarchical reduce's bracketing ((4-local)+(4-local)) "
+                "coincides with the in-process 8-way tree reduce, so the "
+                "trajectories are bit-identical at this topology; the test "
+                "tolerance is the guard band for topologies whose "
+                "bracketing differs.",
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

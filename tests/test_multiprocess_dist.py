@@ -40,6 +40,20 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 STEPLOSS = re.compile(
     r"steploss (\d+)/(\d+) ([\d.]+) sup ([\d.]+) unsup ([\d.]+)")
 
+# Drift envelope, pinned numerically by scripts/measure_dist_drift.py
+# (committed artifact log/dist_drift.json): at 2proc x 4dev the measured
+# 6-epoch trajectory divergence is exactly 0.0 — the hierarchical reduce's
+# bracketing coincides with the in-process tree reduce (losses compared at
+# 1e-9 print resolution).  The tolerances below are deliberate guard bands
+# over that measurement: FIRST_STEP_ABS covers reduce-order fp noise on
+# topologies whose bracketing differs (~1e-7-level, amplified ~100x
+# through the loss scale), LATER_STEP_REL covers its chaos amplification
+# through the semi step's argmax discontinuities.  A failure here at
+# 2proc x 4dev therefore means a REAL regression (batch assembly, loader
+# sharding, collective semantics), not fp noise.
+FIRST_STEP_ABS = 2e-5
+LATER_STEP_REL = 5e-2
+
 
 def _run_workers(n, devices_each, root):
     from geot_tpu.parallel import find_free_port
@@ -99,14 +113,14 @@ def test_two_process_dp8_matches_single_process(tmp_path):
     first = min(base_steps)
     for a, b, name in zip(dist_steps[first], base_steps[first],
                           ("loss", "sup", "unsup")):
-        assert a == pytest.approx(b, abs=2e-5), \
+        assert a == pytest.approx(b, abs=FIRST_STEP_ABS), \
             f"first-step {name} diverged: {a} vs {b}"
 
     # ---- later steps: chaos-amplified fp noise — loose sanity band ------
     for key in base_steps:
         assert np.isfinite(dist_steps[key][0])
         assert dist_steps[key][0] == pytest.approx(base_steps[key][0],
-                                                   rel=5e-2), key
+                                                   rel=LATER_STEP_REL), key
 
     # ---- val metrics: hosts agree exactly; close to single-process ------
     for k, v in base_results[0]["val"].items():
