@@ -89,8 +89,4 @@ def test_fast_variant_is_flagship_plus_flags():
     assert seg.pop("fast_pyramid") == 1024
     assert seg.pop("fast_graph") is True
     fast["model"] = dict(fast["model"], segmentor_args=seg)
-    # round-5: the fast recipe also subsamples the 3d-loss anchors
-    # (quality-proven — docs/TRAINING.md); the flagship keeps the exact
-    # all-points reference loss
-    assert fast.pop("threed_anchors") == 4096
     assert fast == base, "fast variant drifted from the flagship config"
