@@ -36,7 +36,7 @@ if os.environ.get("BENCH_CPU") == "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
 
 
-def _measure(seg_args):
+def _measure(seg_args, compute_flops=True):
     """Build the model at ``seg_args`` and time ITERS forward passes.
 
     The scalar reduce forces full compute per call with a 4-byte D2H;
@@ -59,13 +59,14 @@ def _measure(seg_args):
         return {"pos": pos, "x": pos, "cls": jnp.zeros((BATCH, 1), jnp.int32)}
 
     batches = [fresh_batch() for _ in range(WARMUP + ITERS)]
-    try:
-        # XLA's own flop count for the whole compiled forward — feeds the
-        # MFU field (docs/PERF.md derivation)
-        flops = float((fwd.lower(variables, batches[0]).compile()
-                       .cost_analysis() or {}).get("flops", 0))
-    except Exception:
-        pass
+    if compute_flops:
+        try:
+            # XLA's own flop count for the whole compiled forward — feeds
+            # the MFU field (docs/PERF.md derivation)
+            flops = float((fwd.lower(variables, batches[0]).compile()
+                           .cost_analysis() or {}).get("flops", 0))
+        except Exception:
+            pass
     for i in range(WARMUP):
         float(fwd(variables, batches[i]))
 
@@ -139,7 +140,9 @@ def main():
     # BENCH_DUAL=0 skips the second compile+measure.
     value_exact = None
     if seg_args != exact_args and os.environ.get("BENCH_DUAL", "1") == "1":
-        value_exact, _ = _measure(exact_args)
+        # flops skipped: the MFU field belongs to the headline mode, and
+        # the extra AOT compile would cost ~30 s of bench time
+        value_exact, _ = _measure(exact_args, compute_flops=False)
     elif seg_args == exact_args:
         value_exact = scans_per_sec
 
