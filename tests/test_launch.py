@@ -28,6 +28,10 @@ def test_build_cmd_and_arg_errors():
         main(["--nprocs", "1"])
     with pytest.raises(SystemExit):          # multi-node needs coordinator
         main(["--nprocs", "1", "--nnodes", "2", "--", "--cfg", "x.yaml"])
+    with pytest.raises(SystemExit):          # multi-node needs a SHARED
+        main(["--nprocs", "1", "--nnodes", "2",    # run dir (ADVICE r4:
+              "--coordinator", "h0:1",             # per-node timestamps
+              "--", "--cfg", "x.yaml"])            # desync orbax saves)
 
 
 @pytest.mark.slow
