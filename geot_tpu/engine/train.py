@@ -703,6 +703,22 @@ def main(cfg: EasyConfig) -> dict:
     return results
 
 
+def _draw_seed() -> int:
+    """Draw a run seed when the cfg pins none.  Multi-process: each rank
+    drew a different value — a per-rank seed silently desyncs loader
+    shuffle permutations (block-shard assembly would mix rows of different
+    permutations) and model init, so rank 0's draw is broadcast to all
+    (ADVICE r4; 2-process test in ``tests/test_multiprocess_dist.py``)."""
+    import jax
+
+    seed = int(np.random.randint(1, 10000))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        seed = int(multihost_utils.broadcast_one_to_all(np.int32(seed)))
+    return seed
+
+
 def parse_and_run(argv=None):
     parser = argparse.ArgumentParser("GeoT-TPU segmentation training")
     parser.add_argument("--cfg", type=str, required=True)
@@ -711,17 +727,7 @@ def parse_and_run(argv=None):
     cfg.load(args.cfg, recursive=True)
     cfg.update(opts)
     if cfg.get("seed") is None:
-        import jax
-
-        seed = int(np.random.randint(1, 10000))
-        if jax.process_count() > 1:
-            # each rank drew a different value — a per-rank seed silently
-            # desyncs loader shuffle permutations (block-shard assembly
-            # would mix rows of different permutations) and model init;
-            # share rank 0's draw instead
-            from jax.experimental import multihost_utils
-            seed = int(multihost_utils.broadcast_one_to_all(np.int32(seed)))
-        cfg.seed = seed
+        cfg.seed = _draw_seed()
 
     cfg.task_name = args.cfg.split(".")[-2].split("/")[-2]
     cfg.cfg_basename = args.cfg.split(".")[-2].split("/")[-1]

@@ -142,3 +142,38 @@ def test_two_process_dp8_matches_single_process(tmp_path):
     from geot_tpu.engine.checkpoint import load_variables
     variables = load_variables(str(ckpt_dir / "dist_ckpt_latest"))
     assert "params" in variables
+
+
+@pytest.mark.slow
+def test_seedless_launch_broadcasts_rank0_seed(tmp_path):
+    """ADVICE r4: when no seed is configured, every rank must resolve the
+    SAME seed (rank 0's draw broadcast over the distributed runtime) — a
+    per-rank draw silently desyncs loader permutations and init."""
+    from geot_tpu.parallel import find_free_port
+
+    worker = (
+        "import sys, numpy as np, jax\n"
+        "port, pid = sys.argv[1], int(sys.argv[2])\n"
+        "jax.distributed.initialize(f'localhost:{port}', num_processes=2,"
+        " process_id=pid)\n"
+        "np.random.seed(100 + pid)   # force DIFFERENT per-rank draws\n"
+        "from geot_tpu.engine.train import _draw_seed\n"
+        "print('RESOLVED_SEED', _draw_seed(), flush=True)\n"
+    )
+    port = find_free_port()
+    env = dict(os.environ)
+    env.update({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=2"})
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", worker, str(port), str(i)],
+        env=env, cwd=str(ROOT), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i}:\n{out[-2000:]}"
+    seeds = [int(out.split("RESOLVED_SEED")[1].split()[0]) for out in outs]
+    assert seeds[0] == seeds[1], seeds
+    # sanity: the per-rank draws WERE different before the broadcast
+    draws = [int(np.random.RandomState(100 + i).randint(1, 10000))
+             for i in range(2)]
+    assert draws[0] != draws[1]
